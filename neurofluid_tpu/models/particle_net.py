@@ -1,0 +1,184 @@
+"""ParticleNet: learned Lagrangian fluid transition model (flax linen).
+
+Behavioral contract from the reference `ParticleNet`
+(reference models/transmodel.py:14-163), which follows DeepLagrangianFluids:
+
+1. semi-implicit Euler with gravity: v' = v + g dt; x' = x + (v + v')/2 dt
+   (reference :100-104; dt = 1/50, g = (0, -9.81, 0) by default, scenes
+   override with z-up gravity via config),
+2. position correction from 4 rounds of continuous convolutions over
+   fixed-radius neighborhoods with filter extent
+   6 * radius_scale(1.5) * particle_radius(0.025) = 0.225 (reference :35):
+   - layer 0: three parallel branches — fluid->fluid CConv on features
+     [1, v'] (4ch), box->fluid CConv on box normals (3ch), and a dense layer —
+     each to 32 channels, concatenated as [obstacle, fluid, dense] (96ch)
+     (reference :111-120),
+   - layers 1-3: ReLU -> (CConv + Dense)(+ residual when widths match) with
+     channels 96->64->64->3 (reference :122-131),
+   - output scaled by 1/128 (reference :141),
+3. x'' = x' + dx; v'' = (x'' - x)/dt (reference :144-148),
+4. also returns the per-particle fluid neighbor count used by the weighted
+   training loss (reference :133-138).
+
+TPU design: neighbor search returns fixed-K padded lists (one fluid search
+and one box search per step, REUSED by all four conv layers — the reference's
+Open3D op re-searches per layer on identical positions; here the re-use is
+free because the query/input positions are the same). All convs contract on
+the MXU via `ops.cconv.continuous_conv`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neurofluid_tpu.ops import cconv as cconv_ops
+from neurofluid_tpu.ops import neighbor_search as ns
+
+
+class ContinuousConvLayer(nn.Module):
+    """Learnable continuous convolution layer (Open3D ContinuousConv analog)."""
+
+    filters: int
+    kernel_size: tuple = (4, 4, 4)
+    use_window: bool = True
+    align_corners: bool = True
+    query_chunk: int = 4096
+
+    @nn.compact
+    def __call__(self, feats, points, queries, neighbors, extent):
+        in_ch = feats.shape[-1]
+        kz, ky, kx = self.kernel_size
+        # glorot over (receptive taps * in_ch, taps * out_ch) — conv-style fan
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (kz, ky, kx, in_ch, self.filters),
+            jnp.float32,
+        )
+        return cconv_ops.continuous_conv(
+            kernel,
+            points,
+            feats,
+            queries,
+            neighbors,
+            extent,
+            kernel_size=self.kernel_size,
+            use_window=self.use_window,
+            align_corners=self.align_corners,
+            query_chunk=self.query_chunk,
+        )
+
+
+class ParticleNet(nn.Module):
+    layer_channels: tuple = (32, 64, 64, 3)
+    kernel_size: tuple = (4, 4, 4)
+    radius_scale: float = 1.5
+    particle_radius: float = 0.025
+    timestep: float = 1.0 / 50.0
+    gravity: tuple = (0.0, -9.81, 0.0)
+    other_feats_channels: int = 0
+    correction_scale: float = 1.0 / 128.0
+    # static-shape neighbor caps (fluid: ~47 at rest density for r=0.1125
+    # with 0.05 spacing; 64 leaves headroom — overflow keeps the K nearest)
+    fluid_neighbor_k: int = 64
+    obstacle_neighbor_k: int = 48
+    search_backend: str = "auto"  # 'brute' | 'grid' | 'auto'
+    grid_lower: tuple = (-1.5, -1.5, -1.5)
+    grid_upper: tuple = (1.5, 1.5, 3.0)
+    grid_max_per_cell: int = 24
+    query_chunk: int = 4096
+
+    @property
+    def filter_extent(self) -> float:
+        return 6.0 * self.radius_scale * self.particle_radius
+
+    def integrate_pos_vel(self, pos, vel):
+        """Apply gravity with midpoint integration (reference :100-104)."""
+        dt = self.timestep
+        g = jnp.asarray(self.gravity, pos.dtype)
+        vel_new = vel + g * dt
+        pos_new = pos + (vel + vel_new) / 2.0 * dt
+        return pos_new, vel_new
+
+    def _search(self, queries, points, radius, k, exclude_self):
+        backend = self.search_backend
+        if backend == "auto":
+            backend = "grid" if points.shape[0] >= 4096 else "brute"
+        if backend == "grid":
+            cell = max(radius, 1e-6)
+            grid = ns.build_cell_grid(points, self.grid_lower, self.grid_upper, cell)
+            result, _overflow = ns.radius_search_grid(
+                queries, grid, radius, k,
+                order="nearest", inclusive=True, exclude_self=exclude_self,
+                query_chunk=self.query_chunk,
+                max_per_cell=self.grid_max_per_cell,
+            )
+            return result
+        return ns.radius_search_brute(
+            queries, points, radius, k,
+            order="nearest", inclusive=True, exclude_self=exclude_self,
+            query_chunk=self.query_chunk,
+        )
+
+    @nn.compact
+    def __call__(self, pos, vel, box, box_feats, feats=None):
+        """One transition step.
+
+        pos, vel: (N, 3) fluid particle state.
+        box, box_feats: (M, 3) boundary particles and their normals.
+        feats: optional (N, F) extra per-particle features.
+
+        Returns (pos_corrected, vel_corrected, num_fluid_neighbors).
+        """
+        extent = self.filter_extent
+        radius = extent / 2.0
+
+        pos_new, vel_new = self.integrate_pos_vel(pos, vel)
+
+        fluid_feats = [jnp.ones_like(pos_new[:, :1]), vel_new]
+        if feats is not None:
+            fluid_feats.append(feats)
+        fluid_feats = jnp.concatenate(fluid_feats, axis=-1)
+
+        fluid_nbrs = self._search(
+            pos_new, pos_new, radius, self.fluid_neighbor_k, exclude_self=True
+        )
+        box_nbrs = self._search(
+            pos_new, box, radius, self.obstacle_neighbor_k, exclude_self=False
+        )
+
+        conv_args = dict(kernel_size=self.kernel_size, query_chunk=self.query_chunk)
+        c0 = self.layer_channels[0]
+        ans_fluid = ContinuousConvLayer(c0, name="conv0_fluid", **conv_args)(
+            fluid_feats, pos_new, pos_new, fluid_nbrs, extent
+        )
+        ans_obstacle = ContinuousConvLayer(c0, name="conv0_obstacle", **conv_args)(
+            box_feats, box, pos_new, box_nbrs, extent
+        )
+        ans_dense = nn.Dense(c0, name="dense0_fluid")(fluid_feats)
+
+        # concat order [obstacle, fluid, dense] (reference :120)
+        h = jnp.concatenate([ans_obstacle, ans_fluid, ans_dense], axis=-1)
+
+        for i, ch in enumerate(self.layer_channels[1:], start=1):
+            inp = nn.relu(h)
+            ans_conv = ContinuousConvLayer(ch, name=f"conv{i}", **conv_args)(
+                inp, pos_new, pos_new, fluid_nbrs, extent
+            )
+            ans_d = nn.Dense(ch, name=f"dense{i}")(inp)
+            if ch == h.shape[-1]:
+                h = ans_conv + ans_d + h  # residual (reference :127-128)
+            else:
+                h = ans_conv + ans_d
+
+        pos_correction = self.correction_scale * h
+
+        pos_corrected = pos_new + pos_correction
+        vel_corrected = (pos_corrected - pos) / self.timestep
+
+        num_fluid_neighbors = fluid_nbrs.count.astype(jnp.float32)
+        return pos_corrected, vel_corrected, num_fluid_neighbors

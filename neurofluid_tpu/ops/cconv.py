@@ -1,0 +1,255 @@
+"""Continuous convolution over fixed-radius particle neighborhoods.
+
+TPU-native re-implementation of the Open3D-ML `ContinuousConv` op that the
+reference transition model depends on (reference models/transmodel.py:79-98,
+Ummenhofer et al., "Lagrangian Fluid Simulation with Continuous Convolutions",
+ICLR 2020). Semantics reproduced:
+
+- relative neighbor offsets are normalized by radius = extent/2 and mapped
+  from the unit ball to the unit cube with the *volume preserving* map
+  (`coordinate_mapping='ball_to_cube_volume_preserving'`),
+- the filter is a dense (kz, ky, kx, C_in, C_out) grid sampled by trilinear
+  interpolation with `align_corners=True` (Open3D defaults),
+- each neighbor contribution is scaled by the poly6 window evaluated on the
+  *normalized squared* distance: w = clamp((1 - d^2/r^2)^3, 0, 1)
+  (Open3D normalizes the squared distances returned by fixed_radius_search by
+  r^2 before calling the window fn; reference models/transmodel.py:73-77),
+- `normalize=False`: no division by the window sum.
+
+Instead of translating the CUDA gather-scatter kernel, the TPU formulation
+builds, per query, a dense tap-weight vector over the kz*ky*kx = T taps and
+contracts with two einsums that both land on the MXU:
+
+    TW[q, k, t]  = window[q,k] * sum_j w8[q,k,j] * onehot(corner[q,k,j] == t)
+    B[q, t, c]   = sum_k TW[q, k, t] * feats[q, k, c]        (MXU)
+    out[q, o]    = sum_{t,c} B[q, t, c] * W[t, c, o]         (MXU)
+
+Everything is differentiable w.r.t. features, filter weights AND positions
+(through the coordinate mapping and window), which is the property the whole
+NeuroFluid pipeline depends on.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from neurofluid_tpu.ops.neighbor_search import NeighborList
+
+_EPS = 1e-8
+
+
+def map_sphere_to_cylinder(xyz: jax.Array) -> jax.Array:
+    """Volume-preserving (uniform-density-preserving) unit ball -> unit cylinder.
+
+    Port of the analytic map used by Open3D-ML's coordinate transformation
+    (cap region where (5/4) z^2 > x^2 + y^2 maps to the end discs, the side
+    band maps to the lateral surface). Verified by Monte-Carlo uniformity
+    tests in tests/test_cconv.py rather than by copying any implementation.
+    """
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    sq_norm = x * x + y * y + z * z
+    norm = jnp.sqrt(jnp.maximum(sq_norm, 0.0))
+    rho2 = x * x + y * y
+
+    cap = 1.25 * z * z > rho2
+
+    # cap branch: scale (x, y) by sqrt(3 r / (r + |z|)), send z to sign(z) * r
+    s_cap = jnp.sqrt(3.0 * norm / (norm + jnp.abs(z) + _EPS))
+    x_cap, y_cap = x * s_cap, y * s_cap
+    z_cap = jnp.sign(z) * norm
+
+    # side branch: push (x, y) out to radius r, stretch z by 3/2
+    s_side = norm / jnp.sqrt(jnp.maximum(rho2, _EPS * _EPS))
+    x_side, y_side = x * s_side, y * s_side
+    z_side = 1.5 * z
+
+    x_out = jnp.where(cap, x_cap, x_side)
+    y_out = jnp.where(cap, y_cap, y_side)
+    z_out = jnp.where(cap, z_cap, z_side)
+
+    degenerate = sq_norm < _EPS * _EPS
+    out = jnp.stack([x_out, y_out, z_out], axis=-1)
+    return jnp.where(degenerate[..., None], 0.0, out)
+
+
+def map_cylinder_to_cube(xyz: jax.Array) -> jax.Array:
+    """Area-preserving disc -> square on (x, y) (inverse Shirley-Chiu
+    concentric map), z unchanged: unit cylinder -> unit cube."""
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    rho2 = x * x + y * y
+    rho = jnp.sqrt(jnp.maximum(rho2, 0.0))
+
+    x_ge = jnp.abs(x) >= jnp.abs(y)
+    # |x| >= |y| wedge: a = sign(x) rho, b = (4/pi) a atan(y/x)
+    safe_x = jnp.where(jnp.abs(x) < _EPS, 1.0, x)
+    safe_y = jnp.where(jnp.abs(y) < _EPS, 1.0, y)
+    a1 = jnp.sign(x) * rho
+    b1 = (4.0 / jnp.pi) * a1 * jnp.arctan(y / safe_x)
+    # |y| > |x| wedge
+    b2 = jnp.sign(y) * rho
+    a2 = (4.0 / jnp.pi) * b2 * jnp.arctan(x / safe_y)
+
+    u = jnp.where(x_ge, a1, a2)
+    v = jnp.where(x_ge, b1, b2)
+
+    degenerate = rho2 < _EPS * _EPS
+    u = jnp.where(degenerate, 0.0, u)
+    v = jnp.where(degenerate, 0.0, v)
+    return jnp.stack([u, v, z], axis=-1)
+
+
+def ball_to_cube_volume_preserving(xyz: jax.Array) -> jax.Array:
+    """Compose ball->cylinder->cube; input in the unit ball, output in [-1,1]^3."""
+    return map_cylinder_to_cube(map_sphere_to_cylinder(xyz))
+
+
+def window_poly6(normalized_sq_dist: jax.Array) -> jax.Array:
+    """Poly6 window on d^2/r^2 (reference models/transmodel.py:73-77)."""
+    return jnp.clip((1.0 - normalized_sq_dist) ** 3, 0.0, 1.0)
+
+
+def trilinear_taps(cube_xyz: jax.Array, kernel_size: tuple, align_corners: bool = True):
+    """Trilinear interpolation corner indices + weights on the filter grid.
+
+    cube_xyz (..., 3) in [-1, 1]; kernel_size (kz, ky, kx) with the Open3D
+    axis convention: spatial axis 0 <- z, 1 <- y, 2 <- x.
+
+    Returns (corner_tap (..., 8) int32 flat tap index, weight (..., 8)).
+    """
+    kz, ky, kx = kernel_size
+    sizes = jnp.asarray([kx, ky, kz], cube_xyz.dtype)  # per coordinate x,y,z
+    if align_corners:
+        t = (cube_xyz * 0.5 + 0.5) * (sizes - 1.0)
+    else:
+        t = (cube_xyz * 0.5 + 0.5) * sizes - 0.5
+    # clamp continuous coords into the valid interpolation range
+    t = jnp.clip(t, 0.0, sizes - 1.0)
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, jnp.asarray([kx - 2, ky - 2, kz - 2], jnp.int32))
+    frac = t - i0.astype(t.dtype)  # in [0, 1]
+
+    wx0, wy0, wz0 = 1.0 - frac[..., 0], 1.0 - frac[..., 1], 1.0 - frac[..., 2]
+    wx1, wy1, wz1 = frac[..., 0], frac[..., 1], frac[..., 2]
+    ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    ix1, iy1, iz1 = ix0 + 1, iy0 + 1, iz0 + 1
+
+    corners = []
+    weights = []
+    for dz, wz in ((iz0, wz0), (iz1, wz1)):
+        for dy, wy in ((iy0, wy0), (iy1, wy1)):
+            for dx, wx in ((ix0, wx0), (ix1, wx1)):
+                corners.append((dz * ky + dy) * kx + dx)
+                weights.append(wz * wy * wx)
+    return jnp.stack(corners, axis=-1), jnp.stack(weights, axis=-1)
+
+
+def _cconv_chunk(
+    chunk,
+    filters: jax.Array,
+    kernel_size: tuple,
+    num_taps: int,
+    use_window: bool,
+    align_corners: bool,
+):
+    """One query chunk: offsets (C,K,3) unit-ball coords, feats (C,K,Cin),
+    norm_sq (C,K), mask (C,K) -> out (C, Cout)."""
+    offsets, feats_nb, norm_sq, mask = chunk
+    cube = ball_to_cube_volume_preserving(offsets)
+    corner, w8 = trilinear_taps(cube, kernel_size, align_corners)
+    if use_window:
+        w = window_poly6(norm_sq)
+    else:
+        w = jnp.ones_like(norm_sq)
+    w = jnp.where(mask, w, 0.0)
+
+    onehot = jax.nn.one_hot(corner, num_taps, dtype=feats_nb.dtype)  # (C,K,8,T)
+    # precision=HIGHEST keeps the contraction inputs in full f32: the default
+    # (bf16 operands on the MXU) loses ~1e-3 on the physics features, which is
+    # too coarse for the position-gradient path the simulator depends on.
+    tw = jnp.einsum(
+        "qkj,qkjt->qkt", w8 * w[..., None], onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (C,K,T)
+    basis = jnp.einsum(
+        "qkt,qkc->qtc", tw, feats_nb, precision=jax.lax.Precision.HIGHEST
+    )  # (C,T,Cin)
+    out = jnp.einsum(
+        "qtc,tco->qo",
+        basis,
+        filters,
+        precision=jax.lax.Precision.HIGHEST,
+        # accumulate in at least f32, but never downcast f64 inputs
+        preferred_element_type=jnp.result_type(basis.dtype, jnp.float32),
+    )
+    return out
+
+
+def continuous_conv(
+    filters: jax.Array,
+    points: jax.Array,
+    feats: jax.Array,
+    queries: jax.Array,
+    neighbors: NeighborList,
+    extent: float,
+    kernel_size: tuple = (4, 4, 4),
+    use_window: bool = True,
+    align_corners: bool = True,
+    query_chunk: int = 4096,
+) -> jax.Array:
+    """Continuous convolution: aggregate neighbor features into queries.
+
+    filters: (kz, ky, kx, C_in, C_out) dense filter grid.
+    points/feats: (N, 3)/(N, C_in) input point cloud.
+    queries: (Q, 3) output positions.
+    neighbors: fixed-K NeighborList of `points` around `queries`
+               (search radius must equal extent / 2).
+    extent: full filter extent (Open3D convention; radius = extent / 2).
+
+    Returns (Q, C_out). Matches Open3D ContinuousConv with normalize=False.
+    """
+    kz, ky, kx = kernel_size
+    num_taps = kz * ky * kx
+    cin, cout = filters.shape[-2], filters.shape[-1]
+    filters_flat = filters.reshape(num_taps, cin, cout)
+    radius = extent / 2.0
+
+    safe_idx = jnp.maximum(neighbors.idx, 0)
+    nb_pos = points[safe_idx]  # (Q, K, 3)
+    nb_feats = jnp.where(neighbors.mask[..., None], feats[safe_idx], 0.0)
+    offsets = (nb_pos - queries[:, None, :]) / radius
+    offsets = jnp.where(neighbors.mask[..., None], offsets, 0.0)
+    norm_sq = neighbors.sq_dists / (radius * radius)
+
+    q = queries.shape[0]
+    chunk = min(query_chunk, max(q, 1))
+    n_chunks = max(1, -(-q // chunk))
+    pad = n_chunks * chunk - q
+
+    fn = functools.partial(
+        _cconv_chunk,
+        filters=filters_flat,
+        kernel_size=kernel_size,
+        num_taps=num_taps,
+        use_window=use_window,
+        align_corners=align_corners,
+    )
+    if n_chunks == 1:
+        out = fn((offsets, nb_feats, norm_sq, neighbors.mask))
+    else:
+        k = neighbors.idx.shape[1]
+
+        def pad_r(x, extra_dims):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * extra_dims).reshape(
+                (n_chunks, chunk) + x.shape[1:]
+            )
+
+        chunks = (
+            pad_r(offsets, 2),
+            pad_r(nb_feats, 2),
+            pad_r(norm_sq, 1),
+            pad_r(neighbors.mask, 1),
+        )
+        out = jax.lax.map(fn, chunks).reshape(-1, cout)[:q]
+    return out

@@ -1,0 +1,397 @@
+"""Fixed-radius neighbor search with static shapes (the keystone kernel).
+
+The reference offloads this to two CUDA libraries:
+
+- pytorch3d `ball_query` for the renderer (reference models/renderer.py:13,
+  112-122): for each ray-sample point, up to K=20 neighbors within a fixed
+  radius, chosen as the *first K in particle-index order*, returning
+  **squared** distances zero-padded and indices padded with -1.
+- Open3D-ML `fixed_radius_search` inside ContinuousConv (reference
+  models/transmodel.py:80-98): *all* neighbors within radius, CSR layout,
+  optionally ignoring query points that coincide with input points
+  (`radius_search_ignore_query_points=True`).
+
+On TPU everything must be static-shape, so both consumers share one API that
+returns fixed-K padded neighbor lists plus the *true* (uncapped) neighbor
+count. Overflow policy is principled: with `order="nearest"` the K nearest
+in-radius neighbors are kept (never silently dropping near neighbors); with
+`order="index"` the first K by point index are kept, which is bit-faithful to
+pytorch3d's semantics for the renderer.
+
+Backends:
+- "brute": tiled O(Q*N) distance matrix via one MXU matmul per query chunk +
+  top-k selection. Exact; preferred for N up to ~20k where the N^2 trick is
+  genuinely competitive on TPU.
+- "grid": sort-based spatial cell list (`build_cell_grid` +
+  `radius_search_grid`): candidates gathered from 27 neighboring cells only.
+  Used when N is large or Q >> N.
+
+All outputs are differentiable *downstream* (gather + arithmetic); the
+neighbor index selection itself is discrete, exactly as in the CUDA reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class NeighborList(NamedTuple):
+    """Fixed-K padded neighborhood.
+
+    idx:      (Q, K) int32 point indices, -1 where no neighbor.
+    sq_dists: (Q, K) float squared distances, 0 where no neighbor
+              (pytorch3d ball_query zero-padding convention).
+    mask:     (Q, K) bool validity mask.
+    count:    (Q,)   int32 TRUE number of in-radius neighbors (may exceed K);
+              this feeds `num_fluid_neighbors` in the transition-model loss
+              (reference models/transmodel.py:133-138).
+    """
+
+    idx: jax.Array
+    sq_dists: jax.Array
+    mask: jax.Array
+    count: jax.Array
+
+
+def gather_neighbor_positions(points: jax.Array, neighbors: NeighborList) -> jax.Array:
+    """Gather neighbor xyz, zeros at padded slots.
+
+    Matches pytorch3d's `masked_gather` (reference models/renderer.py:63-77):
+    padded neighbors read as the origin. The renderer's smoothing feature
+    intentionally inherits that artifact, so padding MUST be exactly 0.
+    """
+    safe_idx = jnp.maximum(neighbors.idx, 0)
+    gathered = points[safe_idx]
+    return jnp.where(neighbors.mask[..., None], gathered, 0.0)
+
+
+def _chunk_pad(queries: jax.Array, chunk: int):
+    q = queries.shape[0]
+    n_chunks = max(1, -(-q // chunk))
+    pad = n_chunks * chunk - q
+    padded = jnp.pad(queries, ((0, pad), (0, 0)))
+    return padded.reshape(n_chunks, chunk, queries.shape[-1]), pad
+
+
+def _select_from_candidates(
+    d2: jax.Array,
+    cand_idx: jax.Array,
+    within: jax.Array,
+    k: int,
+    order: str,
+):
+    """Select up to k in-radius candidates per query row.
+
+    d2, within: (C, M); cand_idx: (C, M) global point ids (or -1 for invalid).
+    Returns idx (C,k) int32 (-1 pad), sq (C,k) (0 pad), mask (C,k).
+    """
+    m = d2.shape[-1]
+    if m < k:
+        # fewer candidates than slots: pad the candidate axis
+        pad = k - m
+        d2 = jnp.pad(d2, ((0, 0), (0, pad)))
+        within = jnp.pad(within, ((0, 0), (0, pad)))
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)), constant_values=_INT32_MAX - 1)
+    if order == "index":
+        # first-K by (global) point index: top-k of negated index.
+        score = jnp.where(within, -cand_idx, -_INT32_MAX)
+        top, pos = jax.lax.top_k(score, k)
+        valid = top != -_INT32_MAX
+        idx = jnp.where(valid, -top, -1)
+        sq = jnp.take_along_axis(d2, pos, axis=-1)
+    elif order == "nearest":
+        score = jnp.where(within, -d2, -jnp.inf)
+        top, pos = jax.lax.top_k(score, k)
+        valid = jnp.isfinite(top)
+        idx = jnp.where(valid, jnp.take_along_axis(cand_idx, pos, axis=-1), -1)
+        sq = jnp.take_along_axis(d2, pos, axis=-1)
+    else:
+        raise ValueError(f"unknown order: {order}")
+    sq = jnp.where(valid, sq, 0.0)
+    return idx.astype(jnp.int32), sq, valid
+
+
+def _brute_chunk(
+    q_chunk: jax.Array,
+    points: jax.Array,
+    radius: float,
+    k: int,
+    order: str,
+    inclusive: bool,
+    exclude_self: bool,
+):
+    # Direct (q - p)^2 reduction: XLA fuses the broadcast-subtract-square-sum
+    # without materializing (C, N, 3), and—unlike the |q|^2+|p|^2-2qp matmul
+    # trick—it is EXACTLY zero for coincident points, which the
+    # `exclude_self` semantics (Open3D radius_search_ignore_query_points)
+    # depend on.
+    diff = q_chunk[:, None, :] - points[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    r2 = jnp.asarray(radius, d2.dtype) ** 2
+    within = (d2 <= r2) if inclusive else (d2 < r2)
+    if exclude_self:
+        within = within & (d2 > 0.0)
+    count = jnp.sum(within, axis=-1).astype(jnp.int32)
+    n = points.shape[0]
+    cand_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], d2.shape
+    )
+    idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order)
+    return idx, sq, mask, count
+
+
+def radius_search_brute(
+    queries: jax.Array,
+    points: jax.Array,
+    radius: float,
+    k: int,
+    order: str = "nearest",
+    inclusive: bool = True,
+    exclude_self: bool = False,
+    query_chunk: int = 4096,
+) -> NeighborList:
+    """Exact fixed-radius search by tiled brute force.
+
+    queries (Q, 3), points (N, 3) -> NeighborList with K=k. See module
+    docstring for `order` semantics.
+    """
+    q = queries.shape[0]
+    chunk = min(query_chunk, max(q, 1))
+    chunks, pad = _chunk_pad(queries, chunk)
+
+    fn = functools.partial(
+        _brute_chunk,
+        points=points,
+        radius=radius,
+        k=k,
+        order=order,
+        inclusive=inclusive,
+        exclude_self=exclude_self,
+    )
+    if chunks.shape[0] == 1:
+        idx, sq, mask, count = fn(chunks[0])
+    else:
+        idx, sq, mask, count = jax.lax.map(fn, chunks)
+        idx = idx.reshape(-1, k)
+        sq = sq.reshape(-1, k)
+        mask = mask.reshape(-1, k)
+        count = count.reshape(-1)
+    if pad:
+        idx, sq, mask, count = idx[:q], sq[:q], mask[:q], count[:q]
+    return NeighborList(idx, sq, mask, count)
+
+
+# ---------------------------------------------------------------------------
+# Sort-based spatial cell grid backend
+# ---------------------------------------------------------------------------
+
+
+class CellGrid(NamedTuple):
+    """Static-shape cell list over a fixed bounding box.
+
+    sorted_points: (N, 3) points reordered by cell id.
+    sorted_ids:    (N,) original point index per sorted slot.
+    cell_start:    (num_cells + 1,) CSR-like row starts into the sorted arrays.
+    dims:          static (3,) grid dims tuple.
+    origin, cell_size: geometry of the grid.
+    """
+
+    sorted_points: jax.Array
+    sorted_ids: jax.Array
+    cell_start: jax.Array
+    dims: tuple
+    origin: jax.Array
+    cell_size: float
+
+
+def build_cell_grid(
+    points: jax.Array,
+    lower: tuple,
+    upper: tuple,
+    cell_size: float,
+) -> CellGrid:
+    """Build a sorted cell list. Points outside [lower, upper] are clamped to
+    border cells (they still participate in search; the box covers the fluid
+    container so out-of-box particles are rare transients).
+    """
+    lower = jnp.asarray(lower, points.dtype)
+    upper = jnp.asarray(upper, points.dtype)
+    dims = tuple(
+        int(max(1, math.ceil((float(u) - float(l)) / cell_size)))
+        for l, u in zip(
+            [float(x) for x in lower], [float(x) for x in upper]
+        )
+    )
+    cell = jnp.clip(
+        jnp.floor((points - lower) / cell_size).astype(jnp.int32),
+        0,
+        jnp.asarray(dims, jnp.int32) - 1,
+    )
+    cell_id = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    order = jnp.argsort(cell_id)
+    sorted_points = points[order]
+    sorted_cell_id = cell_id[order]
+    num_cells = dims[0] * dims[1] * dims[2]
+    cell_start = jnp.searchsorted(
+        sorted_cell_id, jnp.arange(num_cells + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return CellGrid(sorted_points, order.astype(jnp.int32), cell_start, dims, lower, cell_size)
+
+
+def _grid_chunk(
+    q_chunk: jax.Array,
+    grid: CellGrid,
+    radius: float,
+    k: int,
+    order: str,
+    inclusive: bool,
+    exclude_self: bool,
+    max_per_cell: int,
+):
+    dims = grid.dims
+    reach = max(1, int(math.ceil(radius / grid.cell_size)))
+    n_off = 2 * reach + 1
+    cell = jnp.floor((q_chunk - grid.origin) / grid.cell_size).astype(jnp.int32)
+
+    offsets = jnp.stack(
+        jnp.meshgrid(
+            *([jnp.arange(-reach, reach + 1, dtype=jnp.int32)] * 3), indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(-1, 3)  # (n_off^3, 3)
+
+    ncell = cell[:, None, :] + offsets[None, :, :]  # (C, O, 3)
+    in_grid = jnp.all(
+        (ncell >= 0) & (ncell < jnp.asarray(dims, jnp.int32)), axis=-1
+    )  # (C, O)
+    ncell = jnp.clip(ncell, 0, jnp.asarray(dims, jnp.int32) - 1)
+    ncell_id = (ncell[..., 0] * dims[1] + ncell[..., 1]) * dims[2] + ncell[..., 2]
+
+    start = grid.cell_start[ncell_id]  # (C, O)
+    end = grid.cell_start[ncell_id + 1]
+    # candidate slots: per neighboring cell, up to max_per_cell sorted slots
+    slot = start[..., None] + jnp.arange(max_per_cell, dtype=jnp.int32)  # (C,O,M)
+    slot_valid = (slot < end[..., None]) & in_grid[..., None]
+    # overflow detection: cells longer than max_per_cell lose tail candidates
+    overflow = jnp.any((end - start) > max_per_cell)
+
+    n = grid.sorted_points.shape[0]
+    slot_c = jnp.clip(slot, 0, n - 1)
+    cpos = grid.sorted_points[slot_c]  # (C, O, M, 3)
+    cidx = grid.sorted_ids[slot_c]  # (C, O, M)
+
+    C = q_chunk.shape[0]
+    m_total = offsets.shape[0] * max_per_cell
+    cpos = cpos.reshape(C, m_total, 3)
+    cidx = cidx.reshape(C, m_total)
+    slot_valid = slot_valid.reshape(C, m_total)
+
+    diff = cpos - q_chunk[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    r2 = jnp.asarray(radius, d2.dtype) ** 2
+    within = ((d2 <= r2) if inclusive else (d2 < r2)) & slot_valid
+    if exclude_self:
+        within = within & (d2 > 0.0)
+    count = jnp.sum(within, axis=-1).astype(jnp.int32)
+    cand_idx = jnp.where(slot_valid, cidx, _INT32_MAX - 1)
+    idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order)
+    return idx, sq, mask, count, overflow
+
+
+def radius_search_grid(
+    queries: jax.Array,
+    grid: CellGrid,
+    radius: float,
+    k: int,
+    order: str = "nearest",
+    inclusive: bool = True,
+    exclude_self: bool = False,
+    query_chunk: int = 4096,
+    max_per_cell: int = 64,
+) -> tuple[NeighborList, jax.Array]:
+    """Fixed-radius search against a prebuilt `CellGrid`.
+
+    Returns (NeighborList, overflow_flag). `overflow_flag` is True if any cell
+    held more than `max_per_cell` points, in which case tail candidates were
+    dropped and the caller should rebuild with a larger `max_per_cell` (the
+    principled overflow policy demanded by static shapes).
+    """
+    q = queries.shape[0]
+    chunk = min(query_chunk, max(q, 1))
+    chunks, pad = _chunk_pad(queries, chunk)
+    fn = functools.partial(
+        _grid_chunk,
+        grid=grid,
+        radius=radius,
+        k=k,
+        order=order,
+        inclusive=inclusive,
+        exclude_self=exclude_self,
+        max_per_cell=max_per_cell,
+    )
+    if chunks.shape[0] == 1:
+        idx, sq, mask, count, overflow = fn(chunks[0])
+    else:
+        idx, sq, mask, count, overflow = jax.lax.map(fn, chunks)
+        idx = idx.reshape(-1, k)
+        sq = sq.reshape(-1, k)
+        mask = mask.reshape(-1, k)
+        count = count.reshape(-1)
+        overflow = jnp.any(overflow)
+    if pad:
+        idx, sq, mask, count = idx[:q], sq[:q], mask[:q], count[:q]
+    return NeighborList(idx, sq, mask, count), overflow
+
+
+def radius_search(
+    queries: jax.Array,
+    points: jax.Array,
+    radius: float,
+    k: int,
+    order: str = "nearest",
+    inclusive: bool = True,
+    exclude_self: bool = False,
+    query_chunk: int = 4096,
+) -> NeighborList:
+    """Default entry point (brute backend). See `radius_search_brute`."""
+    return radius_search_brute(
+        queries,
+        points,
+        radius,
+        k,
+        order=order,
+        inclusive=inclusive,
+        exclude_self=exclude_self,
+        query_chunk=query_chunk,
+    )
+
+
+def ball_query(
+    queries: jax.Array,
+    points: jax.Array,
+    radius: float,
+    k: int,
+    query_chunk: int = 4096,
+) -> NeighborList:
+    """pytorch3d-compatible ball query (reference models/renderer.py:112-122).
+
+    First-K-by-index semantics, strict `<` radius test, squared distances,
+    zero/-1 padding — exactly what `RenderNet.search` consumed.
+    """
+    return radius_search_brute(
+        queries,
+        points,
+        radius,
+        k,
+        order="index",
+        inclusive=False,
+        exclude_self=False,
+        query_chunk=query_chunk,
+    )

@@ -1,0 +1,322 @@
+"""End-to-end stage: joint transition-model + renderer training.
+
+Behavioral contract from the reference e2e trainer
+(reference trainer/trainer_e2e.py:28-371):
+- per frame (sequential within an epoch): one transition step from the
+  previous frame's *detached* state (TBPTT-1, reference :189-199), render the
+  dynamic view(s) at frame t+1 on `ray_chunk` random pixels, loss =
+  sum_views [MSE(rgb0) + MSE(rgb1)] + boundary_weight * boundary_L1(pred_pos)
+  (reference :202-261),
+- separate Adam optimizers: renderer lr 3e-4, transition lr 1e-5, with the
+  piecewise-halving schedules of schedules.py (reference :71-141),
+- periodic eval: autoregressive rollout over the test sequence (state NOT
+  detached, no grads), pred2gt per frame, obj dumps, rendering frames
+  {0, 20, 30} on the test views with PSNR (reference :305-371),
+- checkpoints {step, renderer, transition, optimizers} (reference :152-158);
+  resume restores model weights but NOT optimizer state (reference :145-149).
+
+TPU design: transition step + renderer forward + both gradients live in ONE
+jitted train step; the rollout eval is a lax.scan. Gradients flow through the
+single transition step into the CConv stack exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neurofluid_tpu.data.blender import BlenderDataset
+from neurofluid_tpu.data import io as data_io
+from neurofluid_tpu.models.particle_net import ParticleNet
+from neurofluid_tpu.train import checkpoint as ckpt
+from neurofluid_tpu.train import losses, schedules
+from neurofluid_tpu.train.trainer_base import TrainerBase
+from neurofluid_tpu.train.transition import make_rollout_fn
+from neurofluid_tpu.train.warmup import build_renderer
+from neurofluid_tpu.utils.metrics import FluidErrors, psnr as psnr_np
+
+
+class E2ETrainer(TrainerBase):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.build_data()
+        self.build_model()
+        self.build_optimizer()
+        self.build_steps()
+        self.start_step = 0
+        self.eval_count = 0
+        if cfg.get("resume_from"):
+            self.resume(cfg.resume_from)
+
+    # ------------------------------------------------------------------
+
+    def build_data(self):
+        cfg = self.cfg
+        self.train_views = list(cfg.train.views.dynamic)
+        self.test_views = list(cfg.test.views)
+        self.dataset = BlenderDataset(
+            cfg.train.path, data_type=cfg.data_type,
+            img_wh=(int(cfg.TRAIN.imgW), int(cfg.TRAIN.imgH)),
+            img_scale=float(cfg.TRAIN.scale),
+            start_index=int(cfg.train.start_index), end_index=int(cfg.train.end_index),
+            view_names=self.train_views, split="train",
+        )
+        self.test_dataset = BlenderDataset(
+            cfg.test.path, data_type=cfg.data_type,
+            img_wh=(int(cfg.TEST.imgW), int(cfg.TEST.imgH)),
+            img_scale=float(cfg.TEST.scale),
+            start_index=int(cfg.test.start_index), end_index=int(cfg.test.end_index),
+            view_names=self.test_views, split="test",
+        )
+
+    def build_model(self):
+        cfg = self.cfg
+        gravity = tuple(float(g) for g in cfg.get("gravity", (0.0, -9.81, 0.0)))
+        self.transition = ParticleNet(
+            gravity=gravity,
+            search_backend=cfg.TRAIN.get("search_backend", "auto"),
+        )
+        self.renderer = build_renderer(cfg)
+
+        d0 = self.dataset[0]
+        pos = jnp.asarray(d0["particles_pos"])
+        vel = jnp.asarray(d0["particles_vel"])
+        box = jnp.asarray(d0["box"])
+        nrm = jnp.asarray(d0["box_normals"])
+        self.params_t = self.transition.init(self.next_key(), pos, vel, box, nrm)
+        rays8 = jnp.asarray(d0["rays"][0][:8])
+        ro = jnp.asarray(d0["cw"][0][:, 3])
+        self.params_r = self.renderer.init(self.next_key(), pos, ro, rays8)
+
+        if cfg.TRAIN.get("pretrained_transition_model"):
+            loaded, _ = ckpt.restore_checkpoint(cfg.TRAIN.pretrained_transition_model)
+            self.params_t = {"params": loaded["transition"]["params"]}
+        if cfg.TRAIN.get("pretrained_renderer"):
+            loaded, _ = ckpt.restore_checkpoint(cfg.TRAIN.pretrained_renderer)
+            self.params_r = {
+                "params": ckpt.merge_renderer_params(
+                    self.params_r["params"], loaded["renderer"]["params"],
+                    partial_load=bool(cfg.TRAIN.get("partial_load", False)),
+                )
+            }
+
+    def build_optimizer(self):
+        lr = self.cfg.TRAIN.LR
+        use_sched = bool(lr.get("use_scheduler", True))
+        r_lr = float(lr.get("renderer_lr", 3e-4))
+        t_lr = float(lr.get("trans_lr", 1e-5))
+        self.sched_r = (
+            schedules.e2e_renderer_schedule(r_lr) if use_sched else (lambda s: r_lr)
+        )
+        self.sched_t = (
+            schedules.e2e_transition_schedule(t_lr) if use_sched else (lambda s: t_lr)
+        )
+        clip = float(self.cfg.TRAIN.get("grad_clip_value", 0))
+
+        def make(sched):
+            tx = [optax.adam(sched)]
+            if clip:
+                tx.insert(0, optax.clip_by_global_norm(clip))
+            return optax.chain(*tx)
+
+        self.opt_r = make(self.sched_r)
+        self.opt_t = make(self.sched_t)
+        self.opt_r_state = self.opt_r.init(self.params_r)
+        self.opt_t_state = self.opt_t.init(self.params_t)
+
+    def build_steps(self):
+        transition, renderer = self.transition, self.renderer
+        opt_r, opt_t = self.opt_r, self.opt_t
+        bounds = self.box_bounds
+        bd_weight = float(self.cfg.TRAIN.loss_weight.boundary_loss)
+
+        def train_step(
+            params_r, params_t, opt_r_state, opt_t_state,
+            pos, vel, box, nrm, ro_v, rays_v, rgbs_v,
+        ):
+            def loss_fn(pr, pt):
+                pred_pos, pred_vel, _nn = transition.apply(pt, pos, vel, box, nrm)
+
+                def render_view(ro, rays):
+                    return renderer.apply(pr, pred_pos, ro, rays)
+
+                outs = jax.vmap(render_view)(ro_v, rays_v)
+                mse0 = jnp.mean((outs["rgb0"] - rgbs_v) ** 2, axis=(1, 2))
+                mse1 = jnp.mean((outs["rgb1"] - rgbs_v) ** 2, axis=(1, 2))
+                rgbloss = jnp.sum(mse0 + mse1)
+                bd = losses.boundary_loss(pred_pos, bounds)
+                total = rgbloss + bd_weight * bd
+                aux = {
+                    "rgbloss_0": jnp.sum(mse0), "rgbloss_1": jnp.sum(mse1),
+                    "boundary_loss": bd,
+                    "pred_pos": pred_pos, "pred_vel": pred_vel,
+                }
+                return total, aux
+
+            (loss, aux), (g_r, g_t) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params_r, params_t)
+            up_r, opt_r_state = opt_r.update(g_r, opt_r_state, params_r)
+            params_r = optax.apply_updates(params_r, up_r)
+            up_t, opt_t_state = opt_t.update(g_t, opt_t_state, params_t)
+            params_t = optax.apply_updates(params_t, up_t)
+
+            next_pos = jax.lax.stop_gradient(aux.pop("pred_pos"))
+            next_vel = jax.lax.stop_gradient(aux.pop("pred_vel"))
+            aux["grad_norm_renderer"] = optax.global_norm(g_r)
+            aux["grad_norm_transition"] = optax.global_norm(g_t)
+            return (
+                params_r, params_t, opt_r_state, opt_t_state,
+                loss, next_pos, next_vel, aux,
+            )
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+        self.rollout = make_rollout_fn(transition)
+        self.render_full = self.make_chunk_renderer(
+            renderer, chunk=int(self.cfg.RENDERER.ray.ray_chunk)
+        )
+
+    # ------------------------------------------------------------------
+
+    def resume(self, path):
+        loaded, step = ckpt.restore_checkpoint(path)
+        self.params_r = jax.tree_util.tree_map(jnp.asarray, loaded["renderer"])
+        self.params_t = jax.tree_util.tree_map(jnp.asarray, loaded["transition"])
+        self.start_step = int(np.asarray(loaded["step"])) + 1
+
+    def save_checkpoint(self, step):
+        ckpt.save_checkpoint(
+            self.modelpath, step,
+            {
+                "step": step,
+                "renderer": self.params_r,
+                "transition": self.params_t,
+                "opt_r_state": self.opt_r_state,
+                "opt_t_state": self.opt_t_state,
+            },
+        )
+
+    # ------------------------------------------------------------------
+
+    def train(self, n_epochs: int | None = None, eval_during_training: bool = True):
+        cfg = self.cfg
+        n_epochs = int(n_epochs if n_epochs is not None else cfg.TRAIN.epochs)
+        h = int(cfg.TRAIN.imgH // cfg.TRAIN.scale)
+        w = int(cfg.TRAIN.imgW // cfg.TRAIN.scale)
+        ray_chunk = int(cfg.RENDERER.ray.ray_chunk)
+        precrop = int(cfg.TRAIN.get("precrop_iters", 500))
+        log_interval = int(cfg.TRAIN.get("log_interval", 10))
+        save_interval = int(cfg.TRAIN.get("save_interval", 500))
+
+        global_step = self.start_step
+        last_loss = None
+        for _epoch in range(n_epochs):
+            fluid_errors = FluidErrors()
+            for data_idx in range(len(self.dataset)):
+                data = self.dataset[data_idx]
+                if data_idx == 0:
+                    # state reset at sequence start (reference :192-193)
+                    state_pos = jnp.asarray(data["particles_pos"])
+                    state_vel = jnp.asarray(data["particles_vel"])
+
+                rays_sel, rgbs_sel = [], []
+                for v in range(len(self.train_views)):
+                    idx = self.sample_pixel_indices(h, w, global_step, ray_chunk, precrop)
+                    rays_sel.append(data["rays_1"][v][idx])
+                    rgbs_sel.append(data["rgb_1"][v][idx])
+                rays_v = jnp.asarray(np.stack(rays_sel))
+                rgbs_v = jnp.asarray(np.stack(rgbs_sel))
+                ro_v = jnp.asarray(data["cw_1"][:, :, 3])
+
+                (
+                    self.params_r, self.params_t,
+                    self.opt_r_state, self.opt_t_state,
+                    loss, state_pos, state_vel, aux,
+                ) = self.train_step(
+                    self.params_r, self.params_t,
+                    self.opt_r_state, self.opt_t_state,
+                    state_pos, state_vel,
+                    jnp.asarray(data["box"]), jnp.asarray(data["box_normals"]),
+                    ro_v, rays_v, rgbs_v,
+                )
+                last_loss = loss
+
+                if (global_step + 1) % log_interval == 0:
+                    self.logger.scalar("train/loss", float(loss), global_step)
+                    for k in ("rgbloss_0", "rgbloss_1", "boundary_loss",
+                              "grad_norm_renderer", "grad_norm_transition"):
+                        self.logger.scalar(f"train/{k}", float(aux[k]), global_step)
+                    self.logger.scalar(
+                        "train/lr_renderer", float(self.sched_r(global_step)), global_step
+                    )
+                    self.logger.scalar(
+                        "train/lr_transition", float(self.sched_t(global_step)), global_step
+                    )
+                    d = fluid_errors.cal_errors(
+                        np.asarray(state_pos), data["particles_pos_1"], data_idx + 1
+                    )
+                    if d is not None:
+                        self.logger.scalar("train/pred2gt_distance", d, global_step)
+
+                global_step += 1
+                if eval_during_training and global_step % save_interval == 0:
+                    self.eval(global_step)
+                    self.save_checkpoint(global_step)
+        return float(last_loss) if last_loss is not None else None
+
+    # ------------------------------------------------------------------
+
+    def eval(self, step_idx, render_frames=(0, 20, 30), save_obj: bool = True):
+        """Rollout eval + sparse frame rendering (reference :305-371)."""
+        d0 = self.test_dataset[0]
+        n_steps = len(self.test_dataset)
+        traj = np.asarray(
+            self.rollout(
+                self.params_t,
+                jnp.asarray(d0["particles_pos"]), jnp.asarray(d0["particles_vel"]),
+                jnp.asarray(d0["box"]), jnp.asarray(d0["box_normals"]),
+                n_steps,
+            )
+        )
+        fluid_errors = FluidErrors()
+        dists = []
+        outdir = osp.join(self.particlepath, str(step_idx))
+        if save_obj:
+            os.makedirs(outdir, exist_ok=True)
+        for t in range(n_steps):
+            gt = self.test_dataset[t]["particles_pos_1"]
+            d = fluid_errors.cal_errors(traj[t], gt, t + 1)
+            dists.append(d)
+            if save_obj:
+                with open(osp.join(outdir, f"pred_{t + 1}.obj"), "w") as fp:
+                    data_io.write_obj_pointcloud(traj[t], fp, color=[255, 0, 0])
+                with open(osp.join(outdir, f"gt_{t + 1}.obj"), "w") as fp:
+                    data_io.write_obj_pointcloud(gt, fp, color=[3, 168, 158])
+        avg = float(np.mean(dists))
+        self.logger.scalar("eval/avg_pred2gt_distance", avg, step_idx)
+
+        h = int(self.cfg.TEST.imgH // self.cfg.TEST.scale)
+        w = int(self.cfg.TEST.imgW // self.cfg.TEST.scale)
+        psnrs = {}
+        for t in render_frames:
+            if t >= n_steps:
+                continue
+            data = self.test_dataset[t]
+            particles = jnp.asarray(traj[t])
+            for v, name in enumerate(self.test_views):
+                ro = jnp.asarray(data["cw_1"][v][:, 3])
+                out = self.render_full(self.params_r, particles, ro, data["rays_1"][v])
+                gt = data["rgb_1"][v]
+                p0 = psnr_np(out["rgb0"], gt)
+                p1 = psnr_np(out["rgb1"], gt)
+                self.logger.scalar(f"{name}/psnr_{t}_0", p0, step_idx)
+                self.logger.scalar(f"{name}/psnr_{t}_1", p1, step_idx)
+                self.visualize_image(out["rgb0"], gt, h, w, step_idx, f"coarse_{t}_{name}")
+                self.visualize_image(out["rgb1"], gt, h, w, step_idx, f"fine_{t}_{name}")
+                psnrs[f"{name}_{t}"] = (p0, p1)
+        return avg, psnrs

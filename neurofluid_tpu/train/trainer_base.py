@@ -1,0 +1,124 @@
+"""Shared trainer infrastructure.
+
+Plays the role of the reference `BaseTrainer` (reference
+trainer/basetrainer.py:17-341): experiment directory layout
+(<expdir>/<expname>/{models,images,particles}), metric logging, seeding,
+boundary-loss constants, pixel sampling with pre-crop, chunked full-image
+rendering, and visualization dumps.
+
+TPU differences: the training step itself is a single jitted function (built
+by each stage trainer); the chunked render loop here exists only for
+*full-image eval* memory control and reuses one compiled chunk function
+(static chunk shape), instead of the reference's per-chunk Python loop inside
+training (basetrainer.py:282-298).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurofluid_tpu.train import losses
+from neurofluid_tpu.utils.logging import MetricsLogger, to8b
+
+
+class TrainerBase:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.exppath = osp.join(cfg.expdir, cfg.expname)
+        self.imgpath = osp.join(self.exppath, "images")
+        self.particlepath = osp.join(self.exppath, "particles")
+        self.modelpath = osp.join(self.exppath, "models")
+        for d in (self.modelpath, self.imgpath, self.particlepath):
+            os.makedirs(d, exist_ok=True)
+        self.logger = MetricsLogger(self.exppath)
+
+        seed = int(cfg.TRAIN.seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        self.box_bounds = losses.default_box_bounds()
+
+    def next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------
+    # pixel sampling (reference basetrainer.py:171-193 + trainer loops)
+    # ------------------------------------------------------------------
+
+    def sample_pixel_indices(self, height, width, global_step, n_rays, precrop_iters):
+        """Flat pixel indices; center crop for the first `precrop_iters` steps."""
+        if global_step > precrop_iters:
+            candidates = np.arange(height * width)
+        else:
+            dh = int(height // 2 * 0.5)
+            dw = int(width // 2 * 0.5)
+            rows = np.arange(height // 2 - dh, height // 2 + dh)
+            cols = np.arange(width // 2 - dw, width // 2 + dw)
+            candidates = (rows[:, None] * width + cols[None, :]).reshape(-1)
+        sel = self.np_rng.choice(candidates.shape[0], size=n_rays, replace=False)
+        return candidates[sel]
+
+    # ------------------------------------------------------------------
+    # chunked full-image rendering for eval
+    # ------------------------------------------------------------------
+
+    def make_chunk_renderer(self, model, params_label="renderer", chunk=1024,
+                            method=None):
+        """Returns render_full(params, particles, ro, rays_flat) -> dict of
+        stacked outputs, evaluating one fixed-shape jitted chunk at a time."""
+
+        @jax.jit
+        def render_chunk(params, particles, ro, rays):
+            return model.apply(params, particles, ro, rays, method=method)
+
+        def render_full(params, particles, ro, rays_flat):
+            n = rays_flat.shape[0]
+            n_chunks = -(-n // chunk)
+            outs = []
+            for i in range(n_chunks):
+                part = np.asarray(rays_flat[i * chunk : (i + 1) * chunk])
+                pad = chunk - part.shape[0]
+                if pad:
+                    part = np.concatenate([part, np.zeros((pad, 6), part.dtype)])
+                out = render_chunk(params, particles, ro, jnp.asarray(part))
+                outs.append(jax.tree_util.tree_map(np.asarray, out))
+            merged = {}
+            for k in outs[0]:
+                cat = np.concatenate([o[k] for o in outs], axis=0)
+                # outputs are either per-ray (dim0 = chunk) or per-sample
+                # (dim0 = chunk * S); trim the final chunk's padding either way
+                factor = cat.shape[0] // (n_chunks * chunk)
+                merged[k] = cat[: n * factor] if factor >= 1 else cat
+            return merged
+
+        return render_full
+
+    # ------------------------------------------------------------------
+    # visualization (reference basetrainer.py:312-333)
+    # ------------------------------------------------------------------
+
+    def visualize_image(self, pred_rgbs, gt_rgbs, height, width, step, prefix,
+                        mask=None):
+        pred = np.asarray(pred_rgbs).reshape(height, width, 3)
+        gt = np.asarray(gt_rgbs).reshape(height, width, 3)
+        self.logger.image(f"{prefix}/pred_vs_gt", np.concatenate([gt, pred], 1), step)
+        from PIL import Image
+
+        Image.fromarray(to8b(gt)).save(
+            osp.join(self.imgpath, f"{prefix}_{step:05d}.png")
+        )
+        Image.fromarray(to8b(pred)).save(
+            osp.join(self.imgpath, f"{prefix}_{step:05d}_pred.png")
+        )
+        if mask is not None:
+            m = np.asarray(mask).reshape(height, width)
+            Image.fromarray(to8b(m)).save(
+                osp.join(self.imgpath, f"{prefix}_{step:05d}_mask.png")
+            )

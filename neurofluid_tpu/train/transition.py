@@ -1,0 +1,204 @@
+"""Transition-model stage: train ParticleNet on particle sequences alone.
+
+Behavioral contract from the reference transition trainer
+(reference trainer/trainer_transmodel.py:23-262):
+- data: windowed (window=3) particle samples with random z-rotation
+  augmentation, shuffled, batch size 1 (reference :118-124),
+- 2-step rollout loss with gradients through both steps:
+  0.5 * wmse(pred1, pos1) + 0.5 * wmse(pred2, pos2)
+  + boundary(pred1) + boundary(pred2) (reference :179-189),
+- Adam, optional global-norm grad clip (reference :159-160, 196-200),
+- eval: full-sequence autoregressive rollout from frame 0, per-frame
+  pred2gt distance + obj dumps (reference :224-262).
+
+TPU design: the 2-step rollout is a single jitted step; the eval rollout is
+a `lax.scan` over frames with donated state buffers.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neurofluid_tpu.data.particles import ParticleDataset
+from neurofluid_tpu.data import io as data_io
+from neurofluid_tpu.models.particle_net import ParticleNet
+from neurofluid_tpu.train import checkpoint as ckpt
+from neurofluid_tpu.train import losses
+from neurofluid_tpu.train.trainer_base import TrainerBase
+from neurofluid_tpu.utils.metrics import FluidErrors
+
+
+def build_particle_net(cfg) -> ParticleNet:
+    g = cfg.TRAIN.get("gravity", (0.0, -9.81, 0.0))
+    return ParticleNet(
+        gravity=tuple(float(x) for x in g),
+        particle_radius=float(cfg.TRAIN.get("particle_radius", 0.025)),
+        search_backend=cfg.TRAIN.get("search_backend", "auto"),
+    )
+
+
+def make_rollout_fn(net: ParticleNet):
+    """(params, pos, vel, box, nrm, n_steps) -> (F, N, 3) predicted positions."""
+
+    def rollout(params, pos, vel, box, box_normals, n_steps: int):
+        def body(carry, _):
+            p, v = carry
+            p2, v2, _ = net.apply(params, p, v, box, box_normals)
+            return (p2, v2), p2
+
+        _, traj = jax.lax.scan(body, (pos, vel), None, length=n_steps)
+        return traj
+
+    return rollout
+
+
+class TransitionTrainer(TrainerBase):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.build_data()
+        self.build_model()
+        self.build_optimizer()
+        self.build_steps()
+        self.start_step = 0
+        self.eval_count = 0
+        if cfg.get("resume_from"):
+            self.resume(cfg.resume_from)
+
+    def build_data(self):
+        cfg = self.cfg
+        self.dataset = ParticleDataset(
+            cfg.TRAIN.datapath.train, data_type=cfg.TRAIN.datapath.train_datatype,
+            start=int(cfg.TRAIN.start_index), end=int(cfg.TRAIN.end_index),
+            random_rot=True, window=3, seed=int(cfg.TRAIN.seed),
+        )
+        self.test_dataset = ParticleDataset(
+            cfg.TRAIN.datapath.eval, data_type=cfg.TRAIN.datapath.eval_datatype,
+            start=int(cfg.TRAIN.start_index), end=int(cfg.TRAIN.end_index),
+            random_rot=False, window=3,
+        )
+
+    def build_model(self):
+        self.net = build_particle_net(self.cfg)
+        d = self.dataset[0]
+        self.params = self.net.init(
+            self.next_key(),
+            jnp.asarray(d["particles_pos_0"]), jnp.asarray(d["particles_vel_0"]),
+            jnp.asarray(d["box"]), jnp.asarray(d["box_normals"]),
+        )
+        if self.cfg.TRAIN.get("pretrained"):
+            loaded, _ = ckpt.restore_checkpoint(self.cfg.TRAIN.pretrained)
+            self.params = {"params": loaded["transition"]["params"]}
+
+    def build_optimizer(self):
+        tx = [optax.adam(float(self.cfg.TRAIN.lr))]
+        clip = float(self.cfg.TRAIN.get("grad_clip_value", 0))
+        if clip:
+            tx.insert(0, optax.clip_by_global_norm(clip))
+        self.optimizer = optax.chain(*tx)
+        self.opt_state = self.optimizer.init(self.params)
+
+    def build_steps(self):
+        net, optimizer = self.net, self.optimizer
+        bounds = self.box_bounds
+
+        def train_step(params, opt_state, pos0, vel0, pos1, pos2, box, nrm):
+            def loss_fn(p):
+                pred1, v1, nn1 = net.apply(p, pos0, vel0, box, nrm)
+                pred2, v2, nn2 = net.apply(p, pred1, v1, box, nrm)
+                l1 = losses.weighted_mse_loss(pred1, pos1, nn1)
+                l2 = losses.weighted_mse_loss(pred2, pos2, nn2)
+                b1 = losses.boundary_loss(pred1, bounds)
+                b2 = losses.boundary_loss(pred2, bounds)
+                total = 0.5 * l1 + 0.5 * l2 + b1 + b2
+                return total, {"loss1": l1, "loss2": l2, "bloss1": b1, "bloss2": b2}
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["grad_norm"] = gnorm
+            return params, opt_state, loss, aux
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.rollout = make_rollout_fn(net)
+
+    def resume(self, path):
+        target = {"step": 0, "transition": self.params, "opt_state": self.opt_state}
+        restored, _ = ckpt.restore_checkpoint(path, target=target)
+        self.params = restored["transition"]
+        self.opt_state = restored["opt_state"]
+        self.start_step = int(restored["step"])
+
+    def save_checkpoint(self, step):
+        ckpt.save_checkpoint(
+            self.modelpath, step,
+            {"step": step, "transition": self.params, "opt_state": self.opt_state},
+        )
+
+    def train(self, n_epochs: int | None = None):
+        cfg = self.cfg
+        n_epochs = int(n_epochs if n_epochs is not None else cfg.TRAIN.N_iters)
+        log_interval = int(cfg.TRAIN.get("log_interval", 10))
+        save_interval = int(cfg.TRAIN.get("save_interval", 10))
+        global_step = self.start_step
+        order = np.arange(len(self.dataset))
+        last_loss = None
+        for epoch in range(n_epochs):
+            self.np_rng.shuffle(order)
+            for i in order:
+                d = self.dataset[int(i)]
+                self.params, self.opt_state, loss, aux = self.train_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(d["particles_pos_0"]), jnp.asarray(d["particles_vel_0"]),
+                    jnp.asarray(d["particles_pos_1"]), jnp.asarray(d["particles_pos_2"]),
+                    jnp.asarray(d["box"]), jnp.asarray(d["box_normals"]),
+                )
+                last_loss = loss
+                if (global_step + 1) % log_interval == 0:
+                    self.logger.scalar("loss", float(loss), global_step)
+                    for k, v in aux.items():
+                        self.logger.scalar(k, float(v), global_step)
+                global_step += 1
+            if (epoch + 1) % save_interval == 0:
+                self.save_checkpoint(global_step)
+                self.eval(global_step)
+        return float(last_loss) if last_loss is not None else None
+
+    def eval(self, step_idx, save_obj: bool = True):
+        self.eval_count += 1
+        d0 = self.test_dataset[0]
+        n_steps = len(self.test_dataset)
+        traj = self.rollout(
+            self.params,
+            jnp.asarray(d0["particles_pos_0"]), jnp.asarray(d0["particles_vel_0"]),
+            jnp.asarray(d0["box"]), jnp.asarray(d0["box_normals"]),
+            n_steps,
+        )
+        traj = np.asarray(traj)
+        fluid_errors = FluidErrors()
+        dists = []
+        outdir = osp.join(self.particlepath, str(step_idx))
+        if save_obj:
+            os.makedirs(outdir, exist_ok=True)
+        for t in range(n_steps):
+            gt = self.test_dataset[t]["particles_pos_1"]
+            d = fluid_errors.cal_errors(traj[t], gt, t + 1)
+            dists.append(d)
+            self.logger.scalar(
+                "pred2gt_distance", d, self.eval_count * n_steps + t + 1
+            )
+            if save_obj:
+                with open(osp.join(outdir, f"pred_{t + 1}.obj"), "w") as fp:
+                    data_io.write_obj_pointcloud(traj[t], fp, color=[255, 0, 0])
+                with open(osp.join(outdir, f"gt_{t + 1}.obj"), "w") as fp:
+                    data_io.write_obj_pointcloud(gt, fp, color=[3, 168, 158])
+        avg = float(np.mean(dists))
+        self.logger.scalar("avg_pred2gt_distance", avg, step_idx)
+        fluid_errors.save(osp.join(self.exppath, f"errors_{step_idx}.json"))
+        return avg

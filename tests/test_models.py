@@ -1,0 +1,237 @@
+"""Model-level tests: NeRF MLP, ParticleNet transition model, RenderNet."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neurofluid_tpu.models import NeRF, ParticleNet, RenderNet
+from neurofluid_tpu.models.embedding import embedding_channels, positional_encoding
+
+
+class TestEmbedding:
+    def test_channels_and_order(self):
+        x = jnp.asarray([[0.5, -0.25, 1.0]])
+        out = np.asarray(positional_encoding(x, 2))
+        assert out.shape == (1, embedding_channels(3, 2)) == (1, 15)
+        np.testing.assert_allclose(out[0, :3], [0.5, -0.25, 1.0])
+        # interleaved per-frequency [sin(1x), cos(1x), sin(2x), cos(2x)]
+        np.testing.assert_allclose(out[0, 3:6], np.sin([0.5, -0.25, 1.0]), atol=1e-6)
+        np.testing.assert_allclose(out[0, 6:9], np.cos([0.5, -0.25, 1.0]), atol=1e-6)
+        np.testing.assert_allclose(out[0, 9:12], np.sin([1.0, -0.5, 2.0]), atol=1e-6)
+
+    def test_reference_channel_counts(self):
+        # reference: xyz 63, dir 27, density 9 (renderer.py:30-36)
+        assert embedding_channels(3, 10) == 63
+        assert embedding_channels(3, 4) == 27
+        assert embedding_channels(1, 4) == 9
+
+
+class TestNeRF:
+    def test_shapes_and_sigma_consistency(self, rng):
+        model = NeRF(in_channels_xyz=63, in_channels_dir=27)
+        x = jnp.asarray(rng.normal(size=(10, 90)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (10, 4)
+        rgb = np.asarray(out[:, :3])
+        assert np.all(rgb >= 0) and np.all(rgb <= 1)  # sigmoid head
+        # sigma_only path must agree with the trunk's sigma
+        sig = model.apply(params, x[:, :63], sigma_only=True)
+        np.testing.assert_allclose(np.asarray(sig[:, 0]), np.asarray(out[:, 3]), atol=1e-5)
+
+    def test_skip_connection_width(self):
+        """Reference contract: input re-concatenated at layer index 4."""
+        model = NeRF(in_channels_xyz=198, in_channels_dir=54)
+        x = jnp.zeros((2, 252))
+        params = model.init(jax.random.PRNGKey(0), x)
+        k5 = params["params"]["xyz_encoding_5"]["kernel"]
+        assert k5.shape == (256 + 198, 256)
+
+
+def _scene(rng, n=200, m=80):
+    pos = rng.uniform(-0.4, 0.4, size=(n, 3)).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    box = rng.uniform(-0.6, 0.6, size=(m, 3)).astype(np.float32)
+    box[:, 2] = -0.5  # a floor
+    nrm = np.zeros((m, 3), np.float32)
+    nrm[:, 2] = 1.0
+    return map(jnp.asarray, (pos, vel, box, nrm))
+
+
+class TestParticleNet:
+    def test_step_shapes_and_counts(self, rng):
+        pos, vel, box, nrm = _scene(rng)
+        net = ParticleNet(search_backend="brute")
+        params = net.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+        p1, v1, nn = net.apply(params, pos, vel, box, nrm)
+        assert p1.shape == pos.shape and v1.shape == vel.shape
+        assert np.all(np.isfinite(np.asarray(p1)))
+        # neighbor counts match a scipy oracle (radius = extent/2, self excluded)
+        from scipy.spatial import cKDTree
+
+        dt = net.timestep
+        g = np.asarray(net.gravity)
+        veln = np.asarray(vel) + g * dt
+        posn = np.asarray(pos) + (np.asarray(vel) + veln) / 2 * dt
+        tree = cKDTree(posn)
+        counts = np.asarray([len(tree.query_ball_point(p, 0.1125)) - 1 for p in posn])
+        np.testing.assert_array_equal(np.asarray(nn).astype(int), counts)
+
+    def test_gravity_only_when_correction_off(self, rng):
+        pos, vel, box, nrm = _scene(rng, n=50, m=10)
+        net = ParticleNet(correction_scale=0.0, search_backend="brute")
+        params = net.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+        p1, v1, _ = net.apply(params, pos, vel, box, nrm)
+        dt = net.timestep
+        g = np.asarray(net.gravity, np.float32)
+        v_new = np.asarray(vel) + g * dt
+        p_expect = np.asarray(pos) + (np.asarray(vel) + v_new) / 2 * dt
+        np.testing.assert_allclose(np.asarray(p1), p_expect, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(v1), (p_expect - np.asarray(pos)) / dt, atol=1e-5
+        )
+
+    def test_translation_invariant_correction(self, rng):
+        """CConv sees only relative offsets -> pos_correction is translation
+        invariant (same shift applied to fluid + box)."""
+        pos, vel, box, nrm = _scene(rng, n=60, m=20)
+        net = ParticleNet(gravity=(0.0, 0.0, 0.0), search_backend="brute")
+        params = net.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+        p1, _, _ = net.apply(params, pos, vel, box, nrm)
+        shift = jnp.asarray([0.13, -0.2, 0.07])
+        p1s, _, _ = net.apply(params, pos + shift, vel, box + shift, nrm)
+        np.testing.assert_allclose(
+            np.asarray(p1s - p1), np.broadcast_to(np.asarray(shift), p1.shape),
+            atol=5e-5,
+        )
+
+    def test_gradients_flow_to_positions_and_params(self, rng):
+        pos, vel, box, nrm = _scene(rng, n=40, m=10)
+        net = ParticleNet(search_backend="brute")
+        params = net.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+
+        def loss_pos(p):
+            p1, v1, _ = net.apply(params, p, vel, box, nrm)
+            return jnp.sum(p1**2)
+
+        g = jax.grad(loss_pos)(pos)
+        assert np.all(np.isfinite(np.asarray(g))) and np.any(np.asarray(g) != 0)
+
+        def loss_params(pr):
+            p1, _, _ = net.apply(pr, pos, vel, box, nrm)
+            return jnp.sum(p1**2)
+
+        gp = jax.grad(loss_params)(params)
+        leaves = jax.tree_util.tree_leaves(gp)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+    def test_grid_backend_matches_brute(self, rng):
+        pos, vel, box, nrm = _scene(rng, n=120, m=30)
+        net_b = ParticleNet(search_backend="brute")
+        net_g = ParticleNet(search_backend="grid")
+        params = net_b.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+        p_b, v_b, nn_b = net_b.apply(params, pos, vel, box, nrm)
+        p_g, v_g, nn_g = net_g.apply(params, pos, vel, box, nrm)
+        np.testing.assert_array_equal(np.asarray(nn_b), np.asarray(nn_g))
+        np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_g), atol=2e-5)
+
+
+def _tiny_renderer(**kw):
+    defaults = dict(
+        near=1.0, far=3.0, n_samples=8, n_importance=4,
+        nerf_depth=2, nerf_width=32, search_backend="brute",
+    )
+    defaults.update(kw)
+    return RenderNet(**defaults)
+
+
+class TestRenderNet:
+    def _rays(self, n):
+        o = np.tile(np.asarray([0.0, 0.0, 2.0], np.float32), (n, 1))
+        d = np.tile(np.asarray([0.0, 0.0, -1.0], np.float32), (n, 1))
+        d += np.linspace(0, 0.1, n, dtype=np.float32)[:, None] * np.asarray(
+            [1.0, 0, 0], np.float32
+        )
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(np.concatenate([o, d], -1))
+
+    def test_full_render_shapes(self, rng):
+        model = _tiny_renderer()
+        particles = jnp.asarray(rng.uniform(-0.3, 0.3, size=(100, 3)).astype(np.float32))
+        rays = self._rays(6)
+        ro = jnp.asarray([0.0, 0.0, 2.0])
+        params = model.init(jax.random.PRNGKey(0), particles, ro, rays)
+        out = model.apply(params, particles, ro, rays)
+        assert out["rgb0"].shape == (6, 3)
+        assert out["rgb1"].shape == (6, 3)
+        assert out["opacity0"].shape == (6,)
+        assert out["num_nn_0"].shape == (6 * 8, 1)
+        assert out["num_nn_1"].shape == (6 * 12, 1)
+        for v in out.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_empty_scene_renders_white(self, rng):
+        """use_mask zeroes sigma outside the fluid; empty space -> white."""
+        model = _tiny_renderer()
+        particles = jnp.asarray(
+            rng.uniform(-0.3, 0.3, size=(50, 3)).astype(np.float32) + 100.0
+        )
+        rays = self._rays(4)
+        ro = jnp.asarray([0.0, 0.0, 2.0])
+        params = model.init(jax.random.PRNGKey(0), particles, ro, rays)
+        out = model.apply(params, particles, ro, rays)
+        np.testing.assert_allclose(np.asarray(out["rgb0"]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["rgb1"]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["mask_0"]), 0.0)
+
+    def test_mask_semantics_requires_full_k(self, rng):
+        """A sample with 0 < n < K neighbors is masked out (torch.all)."""
+        model = _tiny_renderer(num_neighbors=20, use_mask=True)
+        # 5 particles only -> never 20 neighbors -> all masked
+        particles = jnp.asarray(rng.uniform(-0.1, 0.1, size=(5, 3)).astype(np.float32))
+        rays = self._rays(3)
+        ro = jnp.asarray([0.0, 0.0, 2.0])
+        params = model.init(jax.random.PRNGKey(0), particles, ro, rays)
+        out = model.apply(params, particles, ro, rays)
+        np.testing.assert_allclose(np.asarray(out["mask_0"]), 0.0)
+        np.testing.assert_allclose(np.asarray(out["rgb0"]), 1.0, atol=1e-6)
+
+    def test_coarse_and_fine_rendering_paths(self, rng):
+        model = _tiny_renderer()
+        particles = jnp.asarray(rng.uniform(-0.3, 0.3, size=(80, 3)).astype(np.float32))
+        rays = self._rays(4)
+        ro = jnp.asarray([0.0, 0.0, 2.0])
+        params = model.init(jax.random.PRNGKey(0), particles, ro, rays)
+        coarse = model.apply(params, particles, ro, rays, method=model.coarse_rendering)
+        assert set(coarse) == {"rgb0", "depth0", "opacity0", "num_nn_0", "mask_0"}
+        fine = model.apply(params, particles, ro, rays, method=model.fine_rendering)
+        assert set(fine) == {"rgb1", "depth1", "opacity1", "num_nn_1", "mask_1"}
+        full = model.apply(params, particles, ro, rays)
+        # deterministic coarse pass agrees between entry points
+        np.testing.assert_allclose(
+            np.asarray(coarse["rgb0"]), np.asarray(full["rgb0"]), atol=1e-6
+        )
+
+    def test_gradients_flow_to_particles(self, rng):
+        """Image loss -> particle positions: the core NeuroFluid property."""
+        model = _tiny_renderer(num_neighbors=4, use_mask=False)
+        particles = jnp.asarray(rng.uniform(-0.2, 0.2, size=(60, 3)).astype(np.float32))
+        rays = self._rays(2)
+        ro = jnp.asarray([0.0, 0.0, 2.0])
+        params = model.init(jax.random.PRNGKey(0), particles, ro, rays)
+
+        def loss(p):
+            out = model.apply(params, p, ro, rays)
+            return jnp.mean(out["rgb1"] ** 2) + jnp.mean(out["rgb0"] ** 2)
+
+        g = jax.grad(loss)(particles)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.any(np.abs(np.asarray(g)) > 0)
+
+    def test_input_channel_count_matches_reference(self):
+        model = _tiny_renderer()
+        # reference default encodings: xyz 63+9+63+63=198, dir 27+27=54
+        assert model.in_channels_xyz == 198
+        assert model.in_channels_dir == 54
