@@ -91,6 +91,12 @@ class ParticleNet(nn.Module):
     grid_upper: tuple = (1.5, 1.5, 3.0)
     grid_max_per_cell: int = 24
     query_chunk: int = 4096
+    # When set (inside shard_map over a mesh axis of this name), pos/vel are
+    # treated as per-device shards of the particle set: neighbor search and
+    # conv inputs all_gather the full set over ICI each layer, outputs stay
+    # sharded. This is the spatial-parallel path for large scenes — a new
+    # capability over the single-GPU reference (SURVEY.md 2.4).
+    shard_axis: str | None = None
 
     @property
     def filter_extent(self) -> float:
@@ -139,13 +145,21 @@ class ParticleNet(nn.Module):
 
         pos_new, vel_new = self.integrate_pos_vel(pos, vel)
 
+        def gather_full(x):
+            if self.shard_axis is None:
+                return x
+            return jax.lax.all_gather(x, self.shard_axis, axis=0, tiled=True)
+
+        all_pos_new = gather_full(pos_new)
+
         fluid_feats = [jnp.ones_like(pos_new[:, :1]), vel_new]
         if feats is not None:
             fluid_feats.append(feats)
         fluid_feats = jnp.concatenate(fluid_feats, axis=-1)
+        all_fluid_feats = gather_full(fluid_feats)
 
         fluid_nbrs = self._search(
-            pos_new, pos_new, radius, self.fluid_neighbor_k, exclude_self=True
+            pos_new, all_pos_new, radius, self.fluid_neighbor_k, exclude_self=True
         )
         box_nbrs = self._search(
             pos_new, box, radius, self.obstacle_neighbor_k, exclude_self=False
@@ -154,7 +168,7 @@ class ParticleNet(nn.Module):
         conv_args = dict(kernel_size=self.kernel_size, query_chunk=self.query_chunk)
         c0 = self.layer_channels[0]
         ans_fluid = ContinuousConvLayer(c0, name="conv0_fluid", **conv_args)(
-            fluid_feats, pos_new, pos_new, fluid_nbrs, extent
+            all_fluid_feats, all_pos_new, pos_new, fluid_nbrs, extent
         )
         ans_obstacle = ContinuousConvLayer(c0, name="conv0_obstacle", **conv_args)(
             box_feats, box, pos_new, box_nbrs, extent
@@ -167,7 +181,7 @@ class ParticleNet(nn.Module):
         for i, ch in enumerate(self.layer_channels[1:], start=1):
             inp = nn.relu(h)
             ans_conv = ContinuousConvLayer(ch, name=f"conv{i}", **conv_args)(
-                inp, pos_new, pos_new, fluid_nbrs, extent
+                gather_full(inp), all_pos_new, pos_new, fluid_nbrs, extent
             )
             ans_d = nn.Dense(ch, name=f"dense{i}")(inp)
             if ch == h.shape[-1]:

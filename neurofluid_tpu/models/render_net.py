@@ -147,13 +147,25 @@ class RenderNet(nn.Module):
         nn_mask = sq != 0.0
         num_nn = nn_mask.sum(axis=-1, keepdims=True).astype(flat_xyz.dtype)
 
-        nb_pos = ns.gather_neighbor_positions(particles, nbrs)  # (Q, K, 3), 0-pad
+        # All neighbor math is computed coordinate-wise on (Q, K) tiles:
+        # (Q, K, 3) arrays would pad the minor dim 3 -> 128 lanes on TPU
+        # (42x HBM). Gathered coordinates are zeroed at padded slots, which
+        # reproduces pytorch3d's masked_gather origin-padding artifact that
+        # the reference smoothing weights inherit (renderer.py:63-77, 96-109).
+        safe_idx = jnp.maximum(nbrs.idx, 0)
+        nb = [
+            jnp.where(nbrs.mask, jnp.take(particles[:, ax], safe_idx, axis=0), 0.0)
+            for ax in range(3)
+        ]  # 3 x (Q, K)
         # smoothing weights from *Euclidean* distances to gathered positions,
         # padding included (reference smoothing_position, renderer.py:96-109)
-        d_eu = jnp.linalg.norm(nb_pos - flat_xyz[:, None, :], axis=-1)
+        d2_eu = sum((nb[ax] - flat_xyz[:, ax, None]) ** 2 for ax in range(3))
+        d_eu = jnp.sqrt(jnp.maximum(d2_eu, 1e-24))
         w = jnp.maximum(1.0 - (d_eu / radius) ** 3, 0.0)
         w_sum = w.sum(axis=-1, keepdims=True)
-        smoothed_pos = (w[..., None] * nb_pos).sum(-2) / (w_sum + 1e-12)
+        smoothed_pos = jnp.stack(
+            [(w * nb[ax]).sum(-1) for ax in range(3)], axis=-1
+        ) / (w_sum + 1e-12)
         density = w_sum  # (Q, 1)
 
         pos_feats = [positional_encoding(flat_xyz, self.xyz_freqs)]
@@ -162,10 +174,14 @@ class RenderNet(nn.Module):
         if self.encode_smoothed_pos:
             pos_feats.append(positional_encoding(smoothed_pos, self.xyz_freqs))
         if self.encode_var:
-            vec = jnp.where(nn_mask[..., None], nb_pos - flat_xyz[:, None, :], 0.0)
-            vec_mean = vec.sum(-2) / (num_nn + 1e-12)
-            var = jnp.where(nn_mask[..., None], (vec - vec_mean[:, None, :]) ** 2, 0.0)
-            var = var.sum(-2) / (num_nn + 1e-12)
+            num_nn_k = num_nn + 1e-12
+            var_axes = []
+            for ax in range(3):
+                vec = jnp.where(nn_mask, nb[ax] - flat_xyz[:, ax, None], 0.0)
+                vec_mean = vec.sum(-1, keepdims=True) / num_nn_k
+                v = jnp.where(nn_mask, (vec - vec_mean) ** 2, 0.0)
+                var_axes.append(v.sum(-1) / num_nn_k[:, 0])
+            var = jnp.stack(var_axes, axis=-1)
             pos_feats.append(positional_encoding(var, self.xyz_freqs))
 
         full_mask = jnp.all(sq != 0.0, axis=-1).reshape(n_rays, n_s, 1)

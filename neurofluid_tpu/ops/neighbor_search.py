@@ -127,13 +127,17 @@ def _brute_chunk(
     inclusive: bool,
     exclude_self: bool,
 ):
-    # Direct (q - p)^2 reduction: XLA fuses the broadcast-subtract-square-sum
-    # without materializing (C, N, 3), and—unlike the |q|^2+|p|^2-2qp matmul
-    # trick—it is EXACTLY zero for coincident points, which the
-    # `exclude_self` semantics (Open3D radius_search_ignore_query_points)
-    # depend on.
-    diff = q_chunk[:, None, :] - points[None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    # Coordinate-wise (q - p)^2 accumulation. Two reasons for this shape:
+    # (a) TPU pads the minor dimension to 128 lanes, so any (C, N, 3) array
+    #     would cost 42x its logical size in HBM — all intermediates here are
+    #     (C, N);
+    # (b) unlike the |q|^2+|p|^2-2qp matmul trick it is EXACTLY zero for
+    #     coincident points, which the `exclude_self` semantics (Open3D
+    #     radius_search_ignore_query_points) depend on.
+    d2 = jnp.zeros((q_chunk.shape[0], points.shape[0]), q_chunk.dtype)
+    for ax in range(3):
+        diff = q_chunk[:, ax, None] - points[None, :, ax]
+        d2 = d2 + diff * diff
     r2 = jnp.asarray(radius, d2.dtype) ** 2
     within = (d2 <= r2) if inclusive else (d2 < r2)
     if exclude_self:
@@ -145,6 +149,23 @@ def _brute_chunk(
     )
     idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order)
     return idx, sq, mask, count
+
+
+def _recompute_sq_dists(queries, points, idx, mask):
+    """Differentiable squared distances of the selected pairs.
+
+    The search itself runs under stop_gradient (its giant Q x candidates
+    intermediates must never become autodiff residuals); gradients w.r.t.
+    positions flow through THIS recomputation instead — identical values,
+    identical gradients, tiny memory. Padding stays exactly 0 (pytorch3d
+    convention the renderer's masks depend on).
+    """
+    safe = jnp.maximum(idx, 0)
+    sq = jnp.zeros(idx.shape, queries.dtype)
+    for ax in range(3):  # (Q, K) intermediates only (TPU lane padding)
+        diff = jnp.take(points[:, ax], safe, axis=0) - queries[:, ax, None]
+        sq = sq + diff * diff
+    return jnp.where(mask, sq, 0.0)
 
 
 def radius_search_brute(
@@ -162,13 +183,15 @@ def radius_search_brute(
     queries (Q, 3), points (N, 3) -> NeighborList with K=k. See module
     docstring for `order` semantics.
     """
+    queries_ng = jax.lax.stop_gradient(queries)
+    points_ng = jax.lax.stop_gradient(points)
     q = queries.shape[0]
     chunk = min(query_chunk, max(q, 1))
-    chunks, pad = _chunk_pad(queries, chunk)
+    chunks, pad = _chunk_pad(queries_ng, chunk)
 
     fn = functools.partial(
         _brute_chunk,
-        points=points,
+        points=points_ng,
         radius=radius,
         k=k,
         order=order,
@@ -176,15 +199,15 @@ def radius_search_brute(
         exclude_self=exclude_self,
     )
     if chunks.shape[0] == 1:
-        idx, sq, mask, count = fn(chunks[0])
+        idx, _sq, mask, count = fn(chunks[0])
     else:
-        idx, sq, mask, count = jax.lax.map(fn, chunks)
+        idx, _sq, mask, count = jax.lax.map(fn, chunks)
         idx = idx.reshape(-1, k)
-        sq = sq.reshape(-1, k)
         mask = mask.reshape(-1, k)
         count = count.reshape(-1)
     if pad:
-        idx, sq, mask, count = idx[:q], sq[:q], mask[:q], count[:q]
+        idx, mask, count = idx[:q], mask[:q], count[:q]
+    sq = _recompute_sq_dists(queries, points, idx, mask)
     return NeighborList(idx, sq, mask, count)
 
 
@@ -204,11 +227,13 @@ class CellGrid(NamedTuple):
     """
 
     sorted_points: jax.Array
+    sorted_points_t: jax.Array  # (3, N) transposed copy (TPU-friendly gathers)
     sorted_ids: jax.Array
     cell_start: jax.Array
     dims: tuple
     origin: jax.Array
     cell_size: float
+    points_original: jax.Array  # unsorted input (differentiable handle)
 
 
 def build_cell_grid(
@@ -221,14 +246,14 @@ def build_cell_grid(
     border cells (they still participate in search; the box covers the fluid
     container so out-of-box particles are rare transients).
     """
-    lower = jnp.asarray(lower, points.dtype)
-    upper = jnp.asarray(upper, points.dtype)
+    # grid geometry must be static (shapes depend on it): lower/upper are
+    # host tuples, converted to arrays only after dims are fixed
     dims = tuple(
         int(max(1, math.ceil((float(u) - float(l)) / cell_size)))
-        for l, u in zip(
-            [float(x) for x in lower], [float(x) for x in upper]
-        )
+        for l, u in zip(lower, upper)
     )
+    lower = jnp.asarray(lower, points.dtype)
+    upper = jnp.asarray(upper, points.dtype)
     cell = jnp.clip(
         jnp.floor((points - lower) / cell_size).astype(jnp.int32),
         0,
@@ -242,7 +267,10 @@ def build_cell_grid(
     cell_start = jnp.searchsorted(
         sorted_cell_id, jnp.arange(num_cells + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    return CellGrid(sorted_points, order.astype(jnp.int32), cell_start, dims, lower, cell_size)
+    return CellGrid(
+        sorted_points, sorted_points.T, order.astype(jnp.int32), cell_start,
+        dims, lower, cell_size, points,
+    )
 
 
 def _grid_chunk(
@@ -283,18 +311,19 @@ def _grid_chunk(
     overflow = jnp.any((end - start) > max_per_cell)
 
     n = grid.sorted_points.shape[0]
-    slot_c = jnp.clip(slot, 0, n - 1)
-    cpos = grid.sorted_points[slot_c]  # (C, O, M, 3)
-    cidx = grid.sorted_ids[slot_c]  # (C, O, M)
-
     C = q_chunk.shape[0]
     m_total = offsets.shape[0] * max_per_cell
-    cpos = cpos.reshape(C, m_total, 3)
-    cidx = cidx.reshape(C, m_total)
+    slot_c = jnp.clip(slot, 0, n - 1).reshape(C, m_total)
+    cidx = jnp.take(grid.sorted_ids, slot_c, axis=0)  # (C, M)
     slot_valid = slot_valid.reshape(C, m_total)
 
-    diff = cpos - q_chunk[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    # coordinate-wise distances: all intermediates are (C, M) — a (C, M, 3)
+    # gather would pad the minor dim 3 -> 128 on TPU (42x HBM blowup)
+    d2 = jnp.zeros((C, m_total), q_chunk.dtype)
+    for ax in range(3):
+        coord = jnp.take(grid.sorted_points_t[ax], slot_c, axis=0)  # (C, M)
+        diff = coord - q_chunk[:, ax, None]
+        d2 = d2 + diff * diff
     r2 = jnp.asarray(radius, d2.dtype) ** 2
     within = ((d2 <= r2) if inclusive else (d2 < r2)) & slot_valid
     if exclude_self:
@@ -324,11 +353,16 @@ def radius_search_grid(
     principled overflow policy demanded by static shapes).
     """
     q = queries.shape[0]
+    queries_ng = jax.lax.stop_gradient(queries)
+    grid_ng = grid._replace(
+        sorted_points=jax.lax.stop_gradient(grid.sorted_points),
+        points_original=jax.lax.stop_gradient(grid.points_original),
+    )
     chunk = min(query_chunk, max(q, 1))
-    chunks, pad = _chunk_pad(queries, chunk)
+    chunks, pad = _chunk_pad(queries_ng, chunk)
     fn = functools.partial(
         _grid_chunk,
-        grid=grid,
+        grid=grid_ng,
         radius=radius,
         k=k,
         order=order,
@@ -337,16 +371,17 @@ def radius_search_grid(
         max_per_cell=max_per_cell,
     )
     if chunks.shape[0] == 1:
-        idx, sq, mask, count, overflow = fn(chunks[0])
+        idx, _sq, mask, count, overflow = fn(chunks[0])
     else:
-        idx, sq, mask, count, overflow = jax.lax.map(fn, chunks)
+        idx, _sq, mask, count, overflow = jax.lax.map(fn, chunks)
         idx = idx.reshape(-1, k)
-        sq = sq.reshape(-1, k)
         mask = mask.reshape(-1, k)
         count = count.reshape(-1)
         overflow = jnp.any(overflow)
     if pad:
-        idx, sq, mask, count = idx[:q], sq[:q], mask[:q], count[:q]
+        idx, mask, count = idx[:q], mask[:q], count[:q]
+    # idx refers to ORIGINAL point order (grid.sorted_ids was applied inside)
+    sq = _recompute_sq_dists(queries, grid.points_original, idx, mask)
     return NeighborList(idx, sq, mask, count), overflow
 
 

@@ -1,0 +1,144 @@
+"""Multi-chip dry run: compile + execute the FULL e2e training step over an
+n-device mesh on tiny shapes, plus the particle-sharded transition step.
+
+Used by __graft_entry__.dryrun_multichip (driver validation on a virtual CPU
+mesh) and by tests/test_sharding.py (subprocess on 8 virtual CPU devices).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neurofluid_tpu.models.particle_net import ParticleNet
+from neurofluid_tpu.models.render_net import RenderNet
+from neurofluid_tpu.parallel.mesh import make_mesh
+from neurofluid_tpu.parallel.sharding import (
+    make_sharded_e2e_step,
+    make_sharded_particle_step,
+    shard_ray_batch,
+)
+from neurofluid_tpu.train import losses
+from neurofluid_tpu.train.e2e import make_e2e_train_step
+
+
+def _tiny_problem(n_devices: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    n_particles = 64 * max(1, n_devices)  # divisible by the mesh
+    n_rays = 16 * max(1, n_devices)
+    n_views = 2
+    pos = rng.uniform(-0.3, 0.3, size=(n_particles, 3)).astype(np.float32)
+    vel = rng.normal(size=(n_particles, 3)).astype(np.float32) * 0.05
+    box = rng.uniform(-0.6, 0.6, size=(48, 3)).astype(np.float32)
+    nrm = np.tile(np.asarray([0, 0, 1.0], np.float32), (48, 1))
+    ro = np.tile(np.asarray([0, 0, 2.0], np.float32), (n_views, 1))
+    d = rng.normal(size=(n_views, n_rays, 3)).astype(np.float32)
+    d[..., 2] -= 2.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(ro[:, None, :], d.shape)
+    rays = np.concatenate([o, d], -1)
+    rgbs = rng.uniform(size=(n_views, n_rays, 3)).astype(np.float32)
+    return pos, vel, box, nrm, ro, rays, rgbs
+
+
+def build_tiny_models(search_backend: str = "brute"):
+    transition = ParticleNet(search_backend=search_backend, fluid_neighbor_k=16,
+                             obstacle_neighbor_k=8)
+    renderer = RenderNet(
+        near=1.0, far=3.0, n_samples=4, n_importance=4, nerf_depth=2,
+        nerf_width=32, num_neighbors=4, search_backend=search_backend,
+    )
+    return transition, renderer
+
+
+def run_e2e_step(n_devices: int, sharded: bool = True, seed: int = 0):
+    """Build everything, run ONE full e2e train step; returns host outputs."""
+    mesh = make_mesh(n_devices) if sharded else None
+    pos, vel, box, nrm, ro, rays, rgbs = _tiny_problem(n_devices, seed)
+    transition, renderer = build_tiny_models()
+
+    key = jax.random.PRNGKey(0)
+    params_t = transition.init(
+        key, jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(box), jnp.asarray(nrm)
+    )
+    params_r = renderer.init(
+        key, jnp.asarray(pos), jnp.asarray(ro[0]), jnp.asarray(rays[0])
+    )
+    opt_r = optax.adam(1e-3)
+    opt_t = optax.adam(1e-4)
+    opt_r_state = opt_r.init(params_r)
+    opt_t_state = opt_t.init(params_t)
+    bounds = losses.default_box_bounds()
+
+    if sharded:
+        step = make_sharded_e2e_step(
+            transition, renderer, opt_r, opt_t, bounds, 1.0, mesh
+        )
+        rays_in = shard_ray_batch(jnp.asarray(rays), mesh)
+        rgbs_in = shard_ray_batch(jnp.asarray(rgbs), mesh)
+    else:
+        step = jax.jit(
+            make_e2e_train_step(transition, renderer, opt_r, opt_t, bounds, 1.0)
+        )
+        rays_in = jnp.asarray(rays)
+        rgbs_in = jnp.asarray(rgbs)
+
+    out = step(
+        params_r, params_t, opt_r_state, opt_t_state,
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(box), jnp.asarray(nrm),
+        jnp.asarray(ro), rays_in, rgbs_in,
+    )
+    (params_r, params_t, opt_r_state, opt_t_state,
+     loss, next_pos, next_vel, aux) = out
+    return {
+        "loss": float(loss),
+        "next_pos": np.asarray(next_pos),
+        "grad_norm_renderer": float(aux["grad_norm_renderer"]),
+        "grad_norm_transition": float(aux["grad_norm_transition"]),
+    }
+
+
+def run_particle_sharded_step(n_devices: int, seed: int = 0):
+    """Particle-sharded transition step vs the replicated step; returns both."""
+    mesh = make_mesh(n_devices, axis_name="particles")
+    pos, vel, box, nrm, *_ = _tiny_problem(n_devices, seed)
+
+    def factory(axis):
+        return ParticleNet(search_backend="brute", fluid_neighbor_k=16,
+                           obstacle_neighbor_k=8, shard_axis=axis)
+
+    net_ref = factory(None)
+    params = net_ref.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(box), jnp.asarray(nrm),
+    )
+    ref_pos, ref_vel, ref_nn = net_ref.apply(
+        params, jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(box), jnp.asarray(nrm)
+    )
+
+    step = make_sharded_particle_step(factory, mesh)
+    sh_pos, sh_vel, sh_nn = step(
+        params, jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(box), jnp.asarray(nrm)
+    )
+    return (
+        np.asarray(ref_pos), np.asarray(sh_pos),
+        np.asarray(ref_nn), np.asarray(sh_nn),
+    )
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Driver entry: full sharded e2e train step + particle-sharded step."""
+    result = run_e2e_step(n_devices, sharded=True)
+    assert np.isfinite(result["loss"]), result
+    assert np.all(np.isfinite(result["next_pos"]))
+    ref_pos, sh_pos, ref_nn, sh_nn = run_particle_sharded_step(n_devices)
+    np.testing.assert_array_equal(ref_nn, sh_nn)
+    np.testing.assert_allclose(ref_pos, sh_pos, atol=1e-5)
+    print(
+        f"dryrun_multichip({n_devices}): e2e loss={result['loss']:.6f}, "
+        f"particle-sharded step matches replicated (max diff "
+        f"{np.abs(ref_pos - sh_pos).max():.2e})"
+    )

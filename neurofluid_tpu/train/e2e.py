@@ -41,6 +41,58 @@ from neurofluid_tpu.train.warmup import build_renderer
 from neurofluid_tpu.utils.metrics import FluidErrors, psnr as psnr_np
 
 
+def make_e2e_train_step(transition, renderer, opt_r, opt_t, bounds, bd_weight):
+    """Build the (unjitted) end-to-end train step.
+
+    One transition step from detached state + multi-view render at t+1 +
+    joint gradients for both parameter sets (reference trainer_e2e.py:202-302).
+    Shared by the single-chip trainer (jit) and the multi-chip path
+    (jit with ray shardings over a Mesh, see parallel/sharding.py).
+    """
+
+    def train_step(
+        params_r, params_t, opt_r_state, opt_t_state,
+        pos, vel, box, nrm, ro_v, rays_v, rgbs_v,
+    ):
+        def loss_fn(pr, pt):
+            pred_pos, pred_vel, _nn = transition.apply(pt, pos, vel, box, nrm)
+
+            def render_view(ro, rays):
+                return renderer.apply(pr, pred_pos, ro, rays)
+
+            outs = jax.vmap(render_view)(ro_v, rays_v)
+            mse0 = jnp.mean((outs["rgb0"] - rgbs_v) ** 2, axis=(1, 2))
+            mse1 = jnp.mean((outs["rgb1"] - rgbs_v) ** 2, axis=(1, 2))
+            rgbloss = jnp.sum(mse0 + mse1)
+            bd = losses.boundary_loss(pred_pos, bounds)
+            total = rgbloss + bd_weight * bd
+            aux = {
+                "rgbloss_0": jnp.sum(mse0), "rgbloss_1": jnp.sum(mse1),
+                "boundary_loss": bd,
+                "pred_pos": pred_pos, "pred_vel": pred_vel,
+            }
+            return total, aux
+
+        (loss, aux), (g_r, g_t) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params_r, params_t)
+        up_r, opt_r_state = opt_r.update(g_r, opt_r_state, params_r)
+        params_r = optax.apply_updates(params_r, up_r)
+        up_t, opt_t_state = opt_t.update(g_t, opt_t_state, params_t)
+        params_t = optax.apply_updates(params_t, up_t)
+
+        next_pos = jax.lax.stop_gradient(aux.pop("pred_pos"))
+        next_vel = jax.lax.stop_gradient(aux.pop("pred_vel"))
+        aux["grad_norm_renderer"] = optax.global_norm(g_r)
+        aux["grad_norm_transition"] = optax.global_norm(g_t)
+        return (
+            params_r, params_t, opt_r_state, opt_t_state,
+            loss, next_pos, next_vel, aux,
+        )
+
+    return train_step
+
+
 class E2ETrainer(TrainerBase):
     def __init__(self, cfg):
         super().__init__(cfg)
@@ -130,55 +182,14 @@ class E2ETrainer(TrainerBase):
         self.opt_t_state = self.opt_t.init(self.params_t)
 
     def build_steps(self):
-        transition, renderer = self.transition, self.renderer
-        opt_r, opt_t = self.opt_r, self.opt_t
-        bounds = self.box_bounds
-        bd_weight = float(self.cfg.TRAIN.loss_weight.boundary_loss)
-
-        def train_step(
-            params_r, params_t, opt_r_state, opt_t_state,
-            pos, vel, box, nrm, ro_v, rays_v, rgbs_v,
-        ):
-            def loss_fn(pr, pt):
-                pred_pos, pred_vel, _nn = transition.apply(pt, pos, vel, box, nrm)
-
-                def render_view(ro, rays):
-                    return renderer.apply(pr, pred_pos, ro, rays)
-
-                outs = jax.vmap(render_view)(ro_v, rays_v)
-                mse0 = jnp.mean((outs["rgb0"] - rgbs_v) ** 2, axis=(1, 2))
-                mse1 = jnp.mean((outs["rgb1"] - rgbs_v) ** 2, axis=(1, 2))
-                rgbloss = jnp.sum(mse0 + mse1)
-                bd = losses.boundary_loss(pred_pos, bounds)
-                total = rgbloss + bd_weight * bd
-                aux = {
-                    "rgbloss_0": jnp.sum(mse0), "rgbloss_1": jnp.sum(mse1),
-                    "boundary_loss": bd,
-                    "pred_pos": pred_pos, "pred_vel": pred_vel,
-                }
-                return total, aux
-
-            (loss, aux), (g_r, g_t) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(params_r, params_t)
-            up_r, opt_r_state = opt_r.update(g_r, opt_r_state, params_r)
-            params_r = optax.apply_updates(params_r, up_r)
-            up_t, opt_t_state = opt_t.update(g_t, opt_t_state, params_t)
-            params_t = optax.apply_updates(params_t, up_t)
-
-            next_pos = jax.lax.stop_gradient(aux.pop("pred_pos"))
-            next_vel = jax.lax.stop_gradient(aux.pop("pred_vel"))
-            aux["grad_norm_renderer"] = optax.global_norm(g_r)
-            aux["grad_norm_transition"] = optax.global_norm(g_t)
-            return (
-                params_r, params_t, opt_r_state, opt_t_state,
-                loss, next_pos, next_vel, aux,
-            )
-
+        train_step = make_e2e_train_step(
+            self.transition, self.renderer, self.opt_r, self.opt_t,
+            self.box_bounds, float(self.cfg.TRAIN.loss_weight.boundary_loss),
+        )
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
-        self.rollout = make_rollout_fn(transition)
+        self.rollout = make_rollout_fn(self.transition)
         self.render_full = self.make_chunk_renderer(
-            renderer, chunk=int(self.cfg.RENDERER.ray.ray_chunk)
+            self.renderer, chunk=int(self.cfg.RENDERER.ray.ray_chunk)
         )
 
     # ------------------------------------------------------------------

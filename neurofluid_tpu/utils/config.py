@@ -103,6 +103,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--expname", type=str, default="debug")
     parser.add_argument("--dataset", type=str, default="")
     parser.add_argument("--config", type=str, default="")
+    parser.add_argument("--dataset_config", type=str, default="",
+                        help="alternative dataset.yaml with scene blocks")
     parser.add_argument("--resume_from", type=str, default="")
     return parser
 
@@ -113,7 +115,7 @@ def stage_config(stage: str, argv=None) -> ConfigNode:
     args = vars(build_arg_parser().parse_args(argv))
     cfg = load_config(stage, args["config"])
     if args["dataset"]:
-        cfg.merge(dataset_config()[args["dataset"]])
+        cfg.merge(dataset_config(args["dataset_config"])[args["dataset"]])
     cfg.merge({k: v for k, v in args.items()})
 
     expdir = osp.join(args["expdir"], args["expname"])

@@ -1,0 +1,227 @@
+"""Training-layer tests: losses, schedules, checkpointing, tiny stage runs."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neurofluid_tpu.train import losses, schedules
+from neurofluid_tpu.train import checkpoint as ckpt
+
+
+class TestLosses:
+    def test_boundary_loss_zero_inside(self):
+        bounds = losses.default_box_bounds()
+        pos = jnp.asarray([[0.0, 0.0, 0.0], [0.5, -0.5, 1.0]])
+        assert float(losses.boundary_loss(pos, bounds)) == 0.0
+
+    def test_boundary_loss_outside_value(self):
+        bounds = losses.default_box_bounds()
+        # one coordinate 0.125 past +x bound (0.975): L1 mean = 0.125/6
+        pos = jnp.asarray([[1.1, 0.0, 0.0]])
+        np.testing.assert_allclose(
+            float(losses.boundary_loss(pos, bounds)), 0.125 / 3, rtol=1e-5
+        )
+
+    def test_boundary_bounds_match_reference(self):
+        b = losses.default_box_bounds()
+        np.testing.assert_allclose(np.asarray(b.lower), [-0.975, -0.975, -0.975])
+        np.testing.assert_allclose(np.asarray(b.upper), [0.975, 0.975, 2.4302])
+
+    def test_weighted_mse_golden(self):
+        pred = jnp.asarray([[1.0, 0.0, 0.0]])
+        gt = jnp.zeros((1, 3))
+        nn = jnp.asarray([40.0])
+        # importance = e^-1, dist = 1, dist^0.5 = 1
+        np.testing.assert_allclose(
+            float(losses.weighted_mse_loss(pred, gt, nn)), np.exp(-1.0), rtol=1e-5
+        )
+
+    def test_psnr(self):
+        mse = jnp.asarray(0.01)
+        np.testing.assert_allclose(float(losses.mse_to_psnr(mse)), 20.0, rtol=1e-5)
+
+
+class TestSchedules:
+    def test_exponential_matches_reference_formula(self):
+        s = schedules.exponential_decay(5e-4, 10000, gamma=0.1)
+        np.testing.assert_allclose(float(s(0)), 5e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(s(10000)), 5e-5, rtol=1e-6)
+        np.testing.assert_allclose(float(s(5000)), 5e-4 * 0.1**0.5, rtol=1e-6)
+
+    def test_warmup_exponential(self):
+        s = schedules.warmup_exponential_decay(1e-3, 10000, warmup_epochs=100)
+        np.testing.assert_allclose(float(s(0)), 1e-3 / 100, rtol=1e-5)
+        np.testing.assert_allclose(float(s(99)), 1e-3, rtol=1e-5)
+        assert float(s(200)) < 1e-3
+
+    def test_e2e_piecewise_tables(self):
+        """Factor chosen by step > boundary (reference trainer_e2e.py:103-110)."""
+        r = schedules.e2e_renderer_schedule(3e-4)
+        np.testing.assert_allclose(float(r(10000)), 3e-4, rtol=1e-6)  # not yet >
+        np.testing.assert_allclose(float(r(10001)), 1.5e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(r(200000)), 3e-4 * 0.125, rtol=1e-6)
+        t = schedules.e2e_transition_schedule(1e-5)
+        np.testing.assert_allclose(float(t(300001)), 1e-5 * 0.03125, rtol=1e-6)
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        state = {
+            "step": 7,
+            "params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        }
+        d = str(tmp_path / "models")
+        ckpt.save_checkpoint(d, 7, state)
+        restored, step = ckpt.restore_checkpoint(d)
+        assert step == 7
+        np.testing.assert_allclose(restored["params"]["a"], state["params"]["a"])
+
+    def test_latest_step(self, tmp_path):
+        d = str(tmp_path / "models")
+        for s in (5, 20, 10):
+            ckpt.save_checkpoint(d, s, {"x": np.zeros(2)})
+        assert ckpt.latest_step(d) == 20
+
+    def test_partial_merge_sigma_xyz_only(self):
+        target = {
+            "nerf_coarse": {
+                "sigma": {"kernel": np.zeros(3)},
+                "xyz_encoding_1": {"kernel": np.zeros(3)},
+                "rgb": {"kernel": np.zeros(3)},
+            }
+        }
+        loaded = {
+            "nerf_coarse": {
+                "sigma": {"kernel": np.ones(3)},
+                "xyz_encoding_1": {"kernel": np.ones(3)},
+                "rgb": {"kernel": np.ones(3)},
+            }
+        }
+        merged = ckpt.merge_renderer_params(target, loaded, partial_load=True)
+        np.testing.assert_allclose(merged["nerf_coarse"]["sigma"]["kernel"], 1.0)
+        np.testing.assert_allclose(merged["nerf_coarse"]["xyz_encoding_1"]["kernel"], 1.0)
+        np.testing.assert_allclose(merged["nerf_coarse"]["rgb"]["kernel"], 0.0)
+
+    def test_full_merge_tolerates_extra_keys(self):
+        target = {"a": {"w": np.zeros(2)}}
+        loaded = {"a": {"w": np.ones(2)}, "extra": {"w": np.ones(2)}}
+        merged = ckpt.merge_renderer_params(target, loaded)
+        np.testing.assert_allclose(merged["a"]["w"], 1.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_scene(tmp_path_factory):
+    from neurofluid_tpu.data import synthetic
+
+    root = str(tmp_path_factory.mktemp("scene"))
+    synthetic.generate_blender_scene(
+        root, n_frames=4, n_side=3, img_wh=(24, 24),
+        train_views=("view_1",), test_views=("view_5",),
+    )
+    return root
+
+
+def _scene_cfg(root):
+    return dict(
+        data_type="splishsplash", near=9.0, far=13.0, gravity=[0.0, 0.0, -9.81],
+        train=dict(start_index=0, end_index=4, path=root,
+                   views=dict(warmup=["view_1"], dynamic=["view_1"])),
+        test=dict(start_index=0, end_index=4, path=root, views=["view_5"]),
+    )
+
+
+def _tiny_renderer_cfg():
+    return dict(
+        ray=dict(ray_chunk=64, N_importance=4, N_samples=8),
+        NN_search=dict(fix_radius=True, particle_radius=0.025,
+                       search_radius_scale=9.0, N_neighbor=6, backend="brute"),
+        encoding=dict(density=True, var=True, smoothed_pos=True,
+                      smoothed_dir=True, exclude_ray=True,
+                      same_smooth_factor=False),
+        use_mask=True,
+    )
+
+
+class TestWarmupTrainer:
+    def test_few_steps_reduce_loss(self, tiny_scene, tmp_path):
+        from neurofluid_tpu.utils.config import ConfigNode
+        from neurofluid_tpu.train.warmup import WarmupTrainer
+
+        cfg = ConfigNode(
+            dict(
+                expdir=str(tmp_path), expname="warmup", resume_from="",
+                TRAIN=dict(seed=10, N_iters=10, precrop_iters=1, save_interval=1000,
+                           log_interval=100, imgW=24, imgH=24, scale=1.0,
+                           LR=dict(lr=5e-3, use_scheduler=True, decay_epochs=10000),
+                           pretrained_renderer="", partial_load=False),
+                TEST=dict(imgW=24, imgH=24, scale=1.0, start_index=0, end_index=4),
+                RENDERER=_tiny_renderer_cfg(),
+                **_scene_cfg(tiny_scene),
+            )
+        )
+        tr = WarmupTrainer(cfg)
+        loss = tr.train(n_iters=10)
+        assert np.isfinite(loss)
+        res = tr.eval(9)
+        assert np.isfinite(res["view_5"]["psnr_1"])
+        tr.save_checkpoint(9)
+        assert os.path.isdir(os.path.join(tr.modelpath, "9"))
+
+
+class TestE2ETrainer:
+    def test_train_and_resume(self, tiny_scene, tmp_path):
+        from neurofluid_tpu.utils.config import ConfigNode
+        from neurofluid_tpu.train.e2e import E2ETrainer
+
+        cfg = ConfigNode(
+            dict(
+                expdir=str(tmp_path), expname="e2e", resume_from="",
+                TRAIN=dict(seed=10, epochs=1, precrop_iters=1, save_interval=10000,
+                           log_interval=100, imgW=24, imgH=24, scale=1.0,
+                           grad_clip_value=0,
+                           LR=dict(trans_lr=1e-5, renderer_lr=3e-4, use_scheduler=True),
+                           loss_weight=dict(boundary_loss=1.0),
+                           pretrained_renderer="", pretrained_transition_model="",
+                           partial_load=False, search_backend="brute"),
+                TEST=dict(imgW=24, imgH=24, scale=1.0, start_index=0, end_index=4),
+                RENDERER=_tiny_renderer_cfg(),
+                **_scene_cfg(tiny_scene),
+            )
+        )
+        tr = E2ETrainer(cfg)
+        loss = tr.train(n_epochs=1, eval_during_training=False)
+        assert np.isfinite(loss)
+        avg, _ = tr.eval(3, render_frames=(0,), save_obj=False)
+        assert np.isfinite(avg)
+        tr.save_checkpoint(3)
+
+        cfg2 = cfg.clone()
+        cfg2.resume_from = tr.modelpath
+        tr2 = E2ETrainer(cfg2)
+        assert tr2.start_step == 4
+
+
+class TestTransitionTrainer:
+    def test_one_epoch(self, tiny_scene, tmp_path):
+        from neurofluid_tpu.utils.config import ConfigNode
+        from neurofluid_tpu.train.transition import TransitionTrainer
+
+        cfg = ConfigNode(
+            dict(
+                expdir=str(tmp_path), expname="trans", resume_from="",
+                TRAIN=dict(seed=10, N_iters=1, save_interval=100, log_interval=100,
+                           lr=1e-4, grad_clip_value=1.0, start_index=0, end_index=4,
+                           particle_radius=0.025, gravity=[0.0, 0.0, -9.81],
+                           pretrained="", search_backend="brute",
+                           datapath=dict(train=tiny_scene, train_datatype="blender_all",
+                                         eval=tiny_scene, eval_datatype="blender_all")),
+            )
+        )
+        tr = TransitionTrainer(cfg)
+        loss = tr.train(n_epochs=1)
+        assert np.isfinite(loss)
+        avg = tr.eval(1, save_obj=False)
+        assert np.isfinite(avg)
