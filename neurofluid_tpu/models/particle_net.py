@@ -116,12 +116,14 @@ class ParticleNet(nn.Module):
             backend = "grid" if points.shape[0] >= 4096 else "brute"
         if backend == "grid":
             cell = max(radius, 1e-6)
-            grid = ns.build_cell_grid(points, self.grid_lower, self.grid_upper, cell)
+            grid = ns.build_cell_grid(
+                points, self.grid_lower, self.grid_upper, cell,
+                max_per_cell=self.grid_max_per_cell,
+            )
             result, _overflow = ns.radius_search_grid(
                 queries, grid, radius, k,
                 order="nearest", inclusive=True, exclude_self=exclude_self,
                 query_chunk=self.query_chunk,
-                max_per_cell=self.grid_max_per_cell,
             )
             return result
         return ns.radius_search_brute(
@@ -142,6 +144,13 @@ class ParticleNet(nn.Module):
         """
         extent = self.filter_extent
         radius = extent / 2.0
+
+        # boundary particles are data, not trainable, and nothing upstream
+        # needs their gradients (the reference also never differentiates the
+        # box); stopping them here kills the useless (and on TPU, extremely
+        # slow) scatter-adjoints of the box gathers
+        box = jax.lax.stop_gradient(box)
+        box_feats = jax.lax.stop_gradient(box_feats)
 
         pos_new, vel_new = self.integrate_pos_vel(pos, vel)
 

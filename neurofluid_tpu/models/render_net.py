@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from neurofluid_tpu.models.embedding import embedding_channels, positional_encoding
 from neurofluid_tpu.models.nerf import NeRF
 from neurofluid_tpu.ops import neighbor_search as ns
-from neurofluid_tpu.ops import ray_ops
+from neurofluid_tpu.ops import ray_ops, segment_ops
 
 
 class RenderNet(nn.Module):
@@ -118,13 +118,13 @@ class RenderNet(nn.Module):
         flat = sample_xyz.reshape(-1, 3)
         if backend == "grid":
             grid = ns.build_cell_grid(
-                particles, self.grid_lower, self.grid_upper, radius
+                particles, self.grid_lower, self.grid_upper, radius,
+                max_per_cell=self.grid_max_per_cell,
             )
             result, _overflow = ns.radius_search_grid(
                 flat, grid, radius, self.num_neighbors,
                 order="index", inclusive=False,
                 query_chunk=self.query_chunk,
-                max_per_cell=self.grid_max_per_cell,
             )
             return result
         return ns.radius_search_brute(
@@ -154,9 +154,11 @@ class RenderNet(nn.Module):
         # the reference smoothing weights inherit (renderer.py:63-77, 96-109).
         safe_idx = jnp.maximum(nbrs.idx, 0)
         nb = [
-            jnp.where(nbrs.mask, jnp.take(particles[:, ax], safe_idx, axis=0), 0.0)
+            jnp.where(
+                nbrs.mask, segment_ops.take_column(particles[:, ax], safe_idx), 0.0
+            )
             for ax in range(3)
-        ]  # 3 x (Q, K)
+        ]  # 3 x (Q, K); take_column = gather with scatter-free adjoint
         # smoothing weights from *Euclidean* distances to gathered positions,
         # padding included (reference smoothing_position, renderer.py:96-109)
         d2_eu = sum((nb[ax] - flat_xyz[:, ax, None]) ** 2 for ax in range(3))

@@ -36,6 +36,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from neurofluid_tpu.ops import segment_ops
 from neurofluid_tpu.ops.neighbor_search import NeighborList
 
 _EPS = 1e-8
@@ -216,8 +217,13 @@ def continuous_conv(
     radius = extent / 2.0
 
     safe_idx = jnp.maximum(neighbors.idx, 0)
-    nb_pos = points[safe_idx]  # (Q, K, 3)
-    nb_feats = jnp.where(neighbors.mask[..., None], feats[safe_idx], 0.0)
+    # take_rows: gather with a sort-based (scatter-free) adjoint — the
+    # backward into particle positions/features would otherwise be an XLA
+    # scatter, which serializes on TPU (see ops/segment_ops.py)
+    nb_pos = segment_ops.take_rows(points, safe_idx)  # (Q, K, 3)
+    nb_feats = jnp.where(
+        neighbors.mask[..., None], segment_ops.take_rows(feats, safe_idx), 0.0
+    )
     offsets = (nb_pos - queries[:, None, :]) / radius
     offsets = jnp.where(neighbors.mask[..., None], offsets, 0.0)
     norm_sq = neighbors.sq_dists / (radius * radius)

@@ -100,11 +100,13 @@ def _select_from_candidates(
         within = jnp.pad(within, ((0, 0), (0, pad)))
         cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)), constant_values=_INT32_MAX - 1)
     if order == "index":
-        # first-K by (global) point index: top-k of negated index.
-        score = jnp.where(within, -cand_idx, -_INT32_MAX)
+        # first-K by (global) point index: top-k of negated index. Scores are
+        # FLOAT on purpose: int32 top_k takes a slow sort path on TPU (~30x
+        # slower); point counts < 2^24 are exact in f32.
+        score = jnp.where(within, -cand_idx.astype(jnp.float32), -jnp.inf)
         top, pos = jax.lax.top_k(score, k)
-        valid = top != -_INT32_MAX
-        idx = jnp.where(valid, -top, -1)
+        valid = jnp.isfinite(top)
+        idx = jnp.where(valid, (-top).astype(jnp.int32), -1)
         sq = jnp.take_along_axis(d2, pos, axis=-1)
     elif order == "nearest":
         score = jnp.where(within, -d2, -jnp.inf)
@@ -160,10 +162,12 @@ def _recompute_sq_dists(queries, points, idx, mask):
     identical gradients, tiny memory. Padding stays exactly 0 (pytorch3d
     convention the renderer's masks depend on).
     """
+    from neurofluid_tpu.ops import segment_ops
+
     safe = jnp.maximum(idx, 0)
     sq = jnp.zeros(idx.shape, queries.dtype)
     for ax in range(3):  # (Q, K) intermediates only (TPU lane padding)
-        diff = jnp.take(points[:, ax], safe, axis=0) - queries[:, ax, None]
+        diff = segment_ops.take_column(points[:, ax], safe) - queries[:, ax, None]
         sq = sq + diff * diff
     return jnp.where(mask, sq, 0.0)
 
@@ -217,22 +221,29 @@ def radius_search_brute(
 
 
 class CellGrid(NamedTuple):
-    """Static-shape cell list over a fixed bounding box.
+    """Dense per-cell tables over a fixed bounding box.
 
-    sorted_points: (N, 3) points reordered by cell id.
-    sorted_ids:    (N,) original point index per sorted slot.
-    cell_start:    (num_cells + 1,) CSR-like row starts into the sorted arrays.
-    dims:          static (3,) grid dims tuple.
-    origin, cell_size: geometry of the grid.
+    TPU rationale: candidate lookup must be expressible as ROW gathers (wide
+    contiguous rows ride the DMA path) — per-element gathers from (N,) arrays
+    run ~140M elem/s on the scalar path and dominated the whole pipeline.
+    Each cell owns `cap` padded slots; row `num_cells` is an all-empty
+    sentinel for out-of-grid lookups.
+
+    table_x/y/z: (num_cells + 1, cap) f32 coordinates, 0 at empty slots.
+    table_idx:   (num_cells + 1, cap) i32 original point index, -1 at empty.
+    overflow:    bool scalar — some cell had more than `cap` points (the tail
+                 was dropped; rebuild with a larger cap).
     """
 
-    sorted_points: jax.Array
-    sorted_points_t: jax.Array  # (3, N) transposed copy (TPU-friendly gathers)
-    sorted_ids: jax.Array
-    cell_start: jax.Array
+    table_x: jax.Array
+    table_y: jax.Array
+    table_z: jax.Array
+    table_idx: jax.Array
     dims: tuple
+    cap: int
     origin: jax.Array
     cell_size: float
+    overflow: jax.Array
     points_original: jax.Array  # unsorted input (differentiable handle)
 
 
@@ -241,10 +252,14 @@ def build_cell_grid(
     lower: tuple,
     upper: tuple,
     cell_size: float,
+    max_per_cell: int = 64,
 ) -> CellGrid:
-    """Build a sorted cell list. Points outside [lower, upper] are clamped to
+    """Build dense cell tables. Points outside [lower, upper] are clamped to
     border cells (they still participate in search; the box covers the fluid
     container so out-of-box particles are rare transients).
+
+    Construction is scatter-free: points are argsorted by cell id and the
+    padded tables are filled by a (num_cells * cap)-sized gather.
     """
     # grid geometry must be static (shapes depend on it): lower/upper are
     # host tuples, converted to arrays only after dims are fixed
@@ -253,23 +268,43 @@ def build_cell_grid(
         for l, u in zip(lower, upper)
     )
     lower = jnp.asarray(lower, points.dtype)
-    upper = jnp.asarray(upper, points.dtype)
+    points_ng = jax.lax.stop_gradient(points)
+    n = points.shape[0]
+    cap = max_per_cell
     cell = jnp.clip(
-        jnp.floor((points - lower) / cell_size).astype(jnp.int32),
+        jnp.floor((points_ng - lower) / cell_size).astype(jnp.int32),
         0,
         jnp.asarray(dims, jnp.int32) - 1,
     )
     cell_id = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
-    order = jnp.argsort(cell_id)
-    sorted_points = points[order]
+    order = jnp.argsort(cell_id).astype(jnp.int32)
     sorted_cell_id = cell_id[order]
     num_cells = dims[0] * dims[1] * dims[2]
-    cell_start = jnp.searchsorted(
+    starts = jnp.searchsorted(
         sorted_cell_id, jnp.arange(num_cells + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+    overflow = jnp.max(starts[1:] - starts[:-1]) > cap
+
+    # densify: slot (c, r) reads sorted position starts[c] + r when in range
+    src = starts[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = src < starts[1:, None]  # (num_cells, cap)
+    src_c = jnp.clip(src, 0, n - 1)
+    ids = jnp.where(valid, order[src_c], -1)  # (num_cells, cap)
+    sorted_xyz = points_ng[order]
+
+    def densify(coord_sorted):
+        t = jnp.where(valid, coord_sorted[src_c], 0.0)
+        return jnp.concatenate([t, jnp.zeros((1, cap), t.dtype)], axis=0)
+
+    table_x = densify(sorted_xyz[:, 0])
+    table_y = densify(sorted_xyz[:, 1])
+    table_z = densify(sorted_xyz[:, 2])
+    table_idx = jnp.concatenate(
+        [ids, jnp.full((1, cap), -1, jnp.int32)], axis=0
+    )
     return CellGrid(
-        sorted_points, sorted_points.T, order.astype(jnp.int32), cell_start,
-        dims, lower, cell_size, points,
+        table_x, table_y, table_z, table_idx,
+        dims, cap, lower, cell_size, overflow, points,
     )
 
 
@@ -281,11 +316,11 @@ def _grid_chunk(
     order: str,
     inclusive: bool,
     exclude_self: bool,
-    max_per_cell: int,
 ):
     dims = grid.dims
+    cap = grid.cap
     reach = max(1, int(math.ceil(radius / grid.cell_size)))
-    n_off = 2 * reach + 1
+    num_cells = dims[0] * dims[1] * dims[2]
     cell = jnp.floor((q_chunk - grid.origin) / grid.cell_size).astype(jnp.int32)
 
     offsets = jnp.stack(
@@ -293,45 +328,34 @@ def _grid_chunk(
             *([jnp.arange(-reach, reach + 1, dtype=jnp.int32)] * 3), indexing="ij"
         ),
         axis=-1,
-    ).reshape(-1, 3)  # (n_off^3, 3)
+    ).reshape(-1, 3)  # (O, 3)
 
     ncell = cell[:, None, :] + offsets[None, :, :]  # (C, O, 3)
     in_grid = jnp.all(
         (ncell >= 0) & (ncell < jnp.asarray(dims, jnp.int32)), axis=-1
     )  # (C, O)
-    ncell = jnp.clip(ncell, 0, jnp.asarray(dims, jnp.int32) - 1)
     ncell_id = (ncell[..., 0] * dims[1] + ncell[..., 1]) * dims[2] + ncell[..., 2]
+    # out-of-grid lookups read the all-empty sentinel row
+    ncell_id = jnp.where(in_grid, ncell_id, num_cells)
 
-    start = grid.cell_start[ncell_id]  # (C, O)
-    end = grid.cell_start[ncell_id + 1]
-    # candidate slots: per neighboring cell, up to max_per_cell sorted slots
-    slot = start[..., None] + jnp.arange(max_per_cell, dtype=jnp.int32)  # (C,O,M)
-    slot_valid = (slot < end[..., None]) & in_grid[..., None]
-    # overflow detection: cells longer than max_per_cell lose tail candidates
-    overflow = jnp.any((end - start) > max_per_cell)
-
-    n = grid.sorted_points.shape[0]
     C = q_chunk.shape[0]
-    m_total = offsets.shape[0] * max_per_cell
-    slot_c = jnp.clip(slot, 0, n - 1).reshape(C, m_total)
-    cidx = jnp.take(grid.sorted_ids, slot_c, axis=0)  # (C, M)
-    slot_valid = slot_valid.reshape(C, m_total)
-
-    # coordinate-wise distances: all intermediates are (C, M) — a (C, M, 3)
-    # gather would pad the minor dim 3 -> 128 on TPU (42x HBM blowup)
+    m_total = offsets.shape[0] * cap
+    # row gathers (width = cap) — the TPU-fast path
+    cand_idx = grid.table_idx[ncell_id].reshape(C, m_total)
     d2 = jnp.zeros((C, m_total), q_chunk.dtype)
-    for ax in range(3):
-        coord = jnp.take(grid.sorted_points_t[ax], slot_c, axis=0)  # (C, M)
+    for ax, table in ((0, grid.table_x), (1, grid.table_y), (2, grid.table_z)):
+        coord = table[ncell_id].reshape(C, m_total)
         diff = coord - q_chunk[:, ax, None]
         d2 = d2 + diff * diff
+
+    slot_valid = cand_idx >= 0
     r2 = jnp.asarray(radius, d2.dtype) ** 2
     within = ((d2 <= r2) if inclusive else (d2 < r2)) & slot_valid
     if exclude_self:
         within = within & (d2 > 0.0)
     count = jnp.sum(within, axis=-1).astype(jnp.int32)
-    cand_idx = jnp.where(slot_valid, cidx, _INT32_MAX - 1)
     idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order)
-    return idx, sq, mask, count, overflow
+    return idx, sq, mask, count
 
 
 def radius_search_grid(
@@ -343,46 +367,40 @@ def radius_search_grid(
     inclusive: bool = True,
     exclude_self: bool = False,
     query_chunk: int = 4096,
-    max_per_cell: int = 64,
+    max_per_cell: int | None = None,  # kept for API compat; cap is set at build
 ) -> tuple[NeighborList, jax.Array]:
     """Fixed-radius search against a prebuilt `CellGrid`.
 
     Returns (NeighborList, overflow_flag). `overflow_flag` is True if any cell
-    held more than `max_per_cell` points, in which case tail candidates were
-    dropped and the caller should rebuild with a larger `max_per_cell` (the
-    principled overflow policy demanded by static shapes).
+    held more than the build-time `max_per_cell`, in which case tail
+    candidates were dropped and the caller should rebuild with a larger cap
+    (the principled overflow policy demanded by static shapes).
     """
     q = queries.shape[0]
     queries_ng = jax.lax.stop_gradient(queries)
-    grid_ng = grid._replace(
-        sorted_points=jax.lax.stop_gradient(grid.sorted_points),
-        points_original=jax.lax.stop_gradient(grid.points_original),
-    )
     chunk = min(query_chunk, max(q, 1))
     chunks, pad = _chunk_pad(queries_ng, chunk)
     fn = functools.partial(
         _grid_chunk,
-        grid=grid_ng,
+        grid=grid,
         radius=radius,
         k=k,
         order=order,
         inclusive=inclusive,
         exclude_self=exclude_self,
-        max_per_cell=max_per_cell,
     )
     if chunks.shape[0] == 1:
-        idx, _sq, mask, count, overflow = fn(chunks[0])
+        idx, _sq, mask, count = fn(chunks[0])
     else:
-        idx, _sq, mask, count, overflow = jax.lax.map(fn, chunks)
+        idx, _sq, mask, count = jax.lax.map(fn, chunks)
         idx = idx.reshape(-1, k)
         mask = mask.reshape(-1, k)
         count = count.reshape(-1)
-        overflow = jnp.any(overflow)
     if pad:
         idx, mask, count = idx[:q], mask[:q], count[:q]
-    # idx refers to ORIGINAL point order (grid.sorted_ids was applied inside)
+    # idx refers to ORIGINAL point order (table_idx stores original ids)
     sq = _recompute_sq_dists(queries, grid.points_original, idx, mask)
-    return NeighborList(idx, sq, mask, count), overflow
+    return NeighborList(idx, sq, mask, count), grid.overflow
 
 
 def radius_search(

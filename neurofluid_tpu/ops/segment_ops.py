@@ -1,0 +1,95 @@
+"""Scatter-free segment reductions and gathers with TPU-friendly adjoints.
+
+XLA:TPU lowers scatter-add to a serialized update loop, which makes the
+*backward pass of every neighbor gather* (millions of (ray-sample, particle)
+pair gradients accumulating into the particle array) catastrophically slow —
+measured ~90 s for one transition-model backward at watercube scale.
+
+`segment_sum_sorted` computes the same reduction with only TPU-fast
+primitives: sort the (id, value) pairs, exclusive-cumsum the values, and read
+per-segment sums as differences at segment boundaries found by searchsorted.
+`take_rows` is a gather whose custom VJP routes the adjoint through that
+reduction instead of XLA scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum_sorted(values: jax.Array, segment_ids: jax.Array, num_segments: int):
+    """sum_i values[i] into out[segment_ids[i]], without scatter.
+
+    values: (M,) or (M, C); segment_ids: (M,) int32 in [0, num_segments)
+    (out-of-range ids are dropped). Returns (num_segments, [C]).
+    """
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    m, c = values.shape
+
+    ids = segment_ids.astype(jnp.int32)
+    # drop invalid ids by mapping them to a trash segment
+    valid = (ids >= 0) & (ids < num_segments)
+    ids = jnp.where(valid, ids, num_segments)
+    values = jnp.where(valid[:, None], values, 0.0)
+
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    vals_sorted = values[order]
+
+    csum = jnp.cumsum(vals_sorted.astype(jnp.float32), axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, c), csum.dtype), csum], axis=0)  # (M+1, C)
+    # segment n occupies [start_n, start_{n+1}) in the sorted order
+    starts = jnp.searchsorted(ids_sorted, jnp.arange(num_segments + 1, dtype=jnp.int32),
+                              side="left")
+    out = csum[starts[1:]] - csum[starts[:-1]]
+    out = out.astype(values.dtype)
+    return out[:, 0] if squeeze else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table (N, C) gathered at idx (...,) -> (..., C).
+
+    Forward is a plain row gather; backward accumulates cotangents into the
+    table via the sort-based segment sum (never XLA scatter).
+    """
+    return table[idx]
+
+
+def _take_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    idx, n = res
+    flat_ids = idx.reshape(-1)
+    flat_g = g.reshape(-1, g.shape[-1])
+    d_table = segment_sum_sorted(flat_g, flat_ids, n)
+    return d_table, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_column(column: jax.Array, idx: jax.Array) -> jax.Array:
+    """column (N,) gathered at idx (...) -> (...). Scatter-free adjoint."""
+    return column[idx]
+
+
+def _take_column_fwd(column, idx):
+    return column[idx], (idx, column.shape[0])
+
+
+def _take_column_bwd(res, g):
+    idx, n = res
+    d = segment_sum_sorted(g.reshape(-1), idx.reshape(-1), n)
+    return d, None
+
+
+take_column.defvjp(_take_column_fwd, _take_column_bwd)

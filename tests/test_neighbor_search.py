@@ -110,9 +110,11 @@ def test_grid_matches_brute(rng, order):
     points = rng.uniform(-1, 1, size=(400, 3)).astype(np.float32)
     queries = rng.uniform(-1.1, 1.1, size=(77, 3)).astype(np.float32)
     radius, k = 0.25, 12
-    grid = ns.build_cell_grid(jnp.asarray(points), (-1, -1, -1), (1, 1, 1), radius)
+    grid = ns.build_cell_grid(
+        jnp.asarray(points), (-1, -1, -1), (1, 1, 1), radius, max_per_cell=128
+    )
     res, overflow = ns.radius_search_grid(
-        jnp.asarray(queries), grid, radius, k, order=order, max_per_cell=128
+        jnp.asarray(queries), grid, radius, k, order=order
     )
     assert not bool(overflow)
     ref = ns.radius_search_brute(jnp.asarray(queries), jnp.asarray(points), radius, k, order=order)
@@ -134,8 +136,10 @@ def test_grid_overflow_flag(rng):
     # cram many points into one cell with tiny capacity -> overflow reported
     points = (rng.uniform(0, 0.05, size=(40, 3))).astype(np.float32)
     queries = points[:3]
-    grid = ns.build_cell_grid(jnp.asarray(points), (0, 0, 0), (1, 1, 1), 0.2)
-    _, overflow = ns.radius_search_grid(jnp.asarray(queries), grid, 0.2, 8, max_per_cell=4)
+    grid = ns.build_cell_grid(
+        jnp.asarray(points), (0, 0, 0), (1, 1, 1), 0.2, max_per_cell=4
+    )
+    _, overflow = ns.radius_search_grid(jnp.asarray(queries), grid, 0.2, 8)
     assert bool(overflow)
 
 
