@@ -66,6 +66,10 @@ class RenderNet(nn.Module):
     nerf_width: int = 256
     compute_dtype: Any = jnp.float32
     search_backend: str = "auto"  # 'brute' | 'grid' | 'auto'
+    # 'approx' uses the TPU PartialReduce top-k (recall ~0.99) for slot
+    # selection; counts and masks stay exact. 'sort' is the exact (and much
+    # slower on TPU) pytorch3d-faithful selection.
+    search_selection: str = "approx"
     grid_lower: tuple = (-1.5, -1.5, -1.5)
     grid_upper: tuple = (1.5, 1.5, 3.0)
     grid_max_per_cell: int = 160
@@ -125,11 +129,13 @@ class RenderNet(nn.Module):
                 flat, grid, radius, self.num_neighbors,
                 order="index", inclusive=False,
                 query_chunk=self.query_chunk,
+                selection=self.search_selection,
             )
             return result
         return ns.radius_search_brute(
             flat, particles, radius, self.num_neighbors,
             order="index", inclusive=False, query_chunk=self.query_chunk,
+            selection=self.search_selection,
         )
 
     def _local_features(self, particles, sample_xyz, rays, ro, nbrs, sigma_only=False):
@@ -142,23 +148,34 @@ class RenderNet(nn.Module):
         flat_xyz = sample_xyz.reshape(-1, 3)
         radius = self.search_radius
 
-        sq = nbrs.sq_dists.reshape(n_rays * n_s, self.num_neighbors)
-        # reference nn_mask = dists != 0 (renderer.py:137); padding is 0
-        nn_mask = sq != 0.0
-        num_nn = nn_mask.sum(axis=-1, keepdims=True).astype(flat_xyz.dtype)
+        # num_nn / full-K mask come from the EXACT in-radius count, which the
+        # search computes sort-free; equivalent to the reference's slot-based
+        # torch.all(dists != 0) (renderer.py:233) except for the measure-zero
+        # case of a neighbor at exactly distance 0, and robust to 'approx'
+        # slot selection.
+        count = nbrs.count.reshape(n_rays * n_s)
+        num_nn = jnp.minimum(count, self.num_neighbors).astype(flat_xyz.dtype)[:, None]
 
         # All neighbor math is computed coordinate-wise on (Q, K) tiles:
         # (Q, K, 3) arrays would pad the minor dim 3 -> 128 lanes on TPU
         # (42x HBM). Gathered coordinates are zeroed at padded slots, which
         # reproduces pytorch3d's masked_gather origin-padding artifact that
         # the reference smoothing weights inherit (renderer.py:63-77, 96-109).
+        # ONE take_columns3 (shared backward sort) feeds the smoothing
+        # distances, the variance feature, AND the pytorch3d-convention
+        # squared distances (nbrs.sq_dists is deliberately unused so its
+        # separate recomputation dead-codes away).
         safe_idx = jnp.maximum(nbrs.idx, 0)
-        nb = [
-            jnp.where(
-                nbrs.mask, segment_ops.take_column(particles[:, ax], safe_idx), 0.0
-            )
-            for ax in range(3)
-        ]  # 3 x (Q, K); take_column = gather with scatter-free adjoint
+        nb_raw = segment_ops.take_columns3(particles, safe_idx)
+        nb = [jnp.where(nbrs.mask, nb_raw[ax], 0.0) for ax in range(3)]
+        # reference nn_mask = ball-query dists != 0 (renderer.py:137):
+        # valid slots with nonzero distance
+        sq = jnp.where(
+            nbrs.mask,
+            sum((nb_raw[ax] - flat_xyz[:, ax, None]) ** 2 for ax in range(3)),
+            0.0,
+        )
+        nn_mask = sq != 0.0
         # smoothing weights from *Euclidean* distances to gathered positions,
         # padding included (reference smoothing_position, renderer.py:96-109)
         d2_eu = sum((nb[ax] - flat_xyz[:, ax, None]) ** 2 for ax in range(3))
@@ -186,7 +203,7 @@ class RenderNet(nn.Module):
             var = jnp.stack(var_axes, axis=-1)
             pos_feats.append(positional_encoding(var, self.xyz_freqs))
 
-        full_mask = jnp.all(sq != 0.0, axis=-1).reshape(n_rays, n_s, 1)
+        full_mask = (count >= self.num_neighbors).reshape(n_rays, n_s, 1)
 
         if sigma_only:
             feats = jnp.concatenate(pos_feats, axis=-1)

@@ -86,11 +86,19 @@ def _select_from_candidates(
     within: jax.Array,
     k: int,
     order: str,
+    selection: str = "sort",
 ):
     """Select up to k in-radius candidates per query row.
 
     d2, within: (C, M); cand_idx: (C, M) global point ids (or -1 for invalid).
     Returns idx (C,k) int32 (-1 pad), sq (C,k) (0 pad), mask (C,k).
+
+    selection='sort' is exact (lax.top_k, which lowers to a full variadic
+    sort over M on TPU — the dominant cost of large searches).
+    selection='approx' uses the TPU PartialReduce op (lax.approx_max_k,
+    recall ~0.99); it may rarely swap/miss a neighbor when many candidates
+    compete, which only perturbs renderer features — counts and masks are
+    computed exactly from `within` regardless of selection.
     """
     m = d2.shape[-1]
     if m < k:
@@ -99,23 +107,28 @@ def _select_from_candidates(
         d2 = jnp.pad(d2, ((0, 0), (0, pad)))
         within = jnp.pad(within, ((0, 0), (0, pad)))
         cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)), constant_values=_INT32_MAX - 1)
+
     if order == "index":
         # first-K by (global) point index: top-k of negated index. Scores are
         # FLOAT on purpose: int32 top_k takes a slow sort path on TPU (~30x
         # slower); point counts < 2^24 are exact in f32.
         score = jnp.where(within, -cand_idx.astype(jnp.float32), -jnp.inf)
-        top, pos = jax.lax.top_k(score, k)
-        valid = jnp.isfinite(top)
-        idx = jnp.where(valid, (-top).astype(jnp.int32), -1)
-        sq = jnp.take_along_axis(d2, pos, axis=-1)
     elif order == "nearest":
-        score = jnp.where(within, -d2, -jnp.inf)
-        top, pos = jax.lax.top_k(score, k)
-        valid = jnp.isfinite(top)
-        idx = jnp.where(valid, jnp.take_along_axis(cand_idx, pos, axis=-1), -1)
-        sq = jnp.take_along_axis(d2, pos, axis=-1)
+        score = jnp.where(within, -d2.astype(jnp.float32), -jnp.inf)
     else:
         raise ValueError(f"unknown order: {order}")
+
+    if selection == "approx":
+        top, pos = jax.lax.approx_max_k(score, k, recall_target=0.99)
+    else:
+        top, pos = jax.lax.top_k(score, k)
+    valid = jnp.isfinite(top)
+    pos = jnp.clip(pos, 0, score.shape[-1] - 1)
+    if order == "index":
+        idx = jnp.where(valid, (-top).astype(jnp.int32), -1)
+    else:
+        idx = jnp.where(valid, jnp.take_along_axis(cand_idx, pos, axis=-1), -1)
+    sq = jnp.take_along_axis(d2, pos, axis=-1)
     sq = jnp.where(valid, sq, 0.0)
     return idx.astype(jnp.int32), sq, valid
 
@@ -128,6 +141,7 @@ def _brute_chunk(
     order: str,
     inclusive: bool,
     exclude_self: bool,
+    selection: str = "sort",
 ):
     # Coordinate-wise (q - p)^2 accumulation. Two reasons for this shape:
     # (a) TPU pads the minor dimension to 128 lanes, so any (C, N, 3) array
@@ -149,7 +163,7 @@ def _brute_chunk(
     cand_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[None, :], d2.shape
     )
-    idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order)
+    idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order, selection)
     return idx, sq, mask, count
 
 
@@ -165,9 +179,12 @@ def _recompute_sq_dists(queries, points, idx, mask):
     from neurofluid_tpu.ops import segment_ops
 
     safe = jnp.maximum(idx, 0)
+    # coordinate-wise (Q, K) intermediates (TPU lane padding); one shared
+    # backward sort for all three coordinates
+    nb = segment_ops.take_columns3(points, safe)
     sq = jnp.zeros(idx.shape, queries.dtype)
-    for ax in range(3):  # (Q, K) intermediates only (TPU lane padding)
-        diff = segment_ops.take_column(points[:, ax], safe) - queries[:, ax, None]
+    for ax in range(3):
+        diff = nb[ax] - queries[:, ax, None]
         sq = sq + diff * diff
     return jnp.where(mask, sq, 0.0)
 
@@ -181,6 +198,7 @@ def radius_search_brute(
     inclusive: bool = True,
     exclude_self: bool = False,
     query_chunk: int = 4096,
+    selection: str = "sort",
 ) -> NeighborList:
     """Exact fixed-radius search by tiled brute force.
 
@@ -201,6 +219,7 @@ def radius_search_brute(
         order=order,
         inclusive=inclusive,
         exclude_self=exclude_self,
+        selection=selection,
     )
     if chunks.shape[0] == 1:
         idx, _sq, mask, count = fn(chunks[0])
@@ -316,6 +335,7 @@ def _grid_chunk(
     order: str,
     inclusive: bool,
     exclude_self: bool,
+    selection: str = "sort",
 ):
     dims = grid.dims
     cap = grid.cap
@@ -354,7 +374,7 @@ def _grid_chunk(
     if exclude_self:
         within = within & (d2 > 0.0)
     count = jnp.sum(within, axis=-1).astype(jnp.int32)
-    idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order)
+    idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order, selection)
     return idx, sq, mask, count
 
 
@@ -368,6 +388,7 @@ def radius_search_grid(
     exclude_self: bool = False,
     query_chunk: int = 4096,
     max_per_cell: int | None = None,  # kept for API compat; cap is set at build
+    selection: str = "sort",
 ) -> tuple[NeighborList, jax.Array]:
     """Fixed-radius search against a prebuilt `CellGrid`.
 
@@ -388,6 +409,7 @@ def radius_search_grid(
         order=order,
         inclusive=inclusive,
         exclude_self=exclude_self,
+        selection=selection,
     )
     if chunks.shape[0] == 1:
         idx, _sq, mask, count = fn(chunks[0])

@@ -21,6 +21,26 @@ import jax
 import jax.numpy as jnp
 
 
+def point_to_ray_distance(points: jax.Array, rays_o: jax.Array, rays_d: jax.Array):
+    """Perpendicular distance from each point to each ray.
+
+    points (P, 3); rays_o/rays_d (R, 3), directions normalized.
+    Returns (P, R). Vectorized replacement for the reference's chunked helper
+    (reference utils/ray_utils.py:19-34).
+    """
+    vec = points[:, None, :] - rays_o[None, :, :]  # (P, R, 3)
+    t = jnp.einsum("prc,rc->pr", vec, rays_d)
+    closest = rays_o[None] + t[..., None] * rays_d[None]
+    return jnp.linalg.norm(points[:, None, :] - closest, axis=-1)
+
+
+def assign_particles_to_rays(points: jax.Array, rays: jax.Array) -> jax.Array:
+    """Index of the nearest ray per particle (reference utils/ray_utils.py:36-82,
+    which built a python dict over chunks; here one vectorized argmin)."""
+    dists = point_to_ray_distance(points, rays[:, :3], rays[:, 3:])
+    return jnp.argmin(dists, axis=-1)
+
+
 def get_ray_directions(height: int, width: int, focal) -> jax.Array:
     """Per-pixel ray directions in camera coordinates, (H, W, 3).
 

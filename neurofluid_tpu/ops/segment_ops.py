@@ -76,6 +76,53 @@ def _take_rows_bwd(res, g):
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
+def segment_sum_sorted_multi(values: list, segment_ids: jax.Array, num_segments: int):
+    """Segment-sum several same-shaped (M,) value arrays with ONE shared sort.
+
+    The argsort of the ids dominates the cost of the sort-based reduction;
+    batching payload columns amortizes it.
+    """
+    ids = segment_ids.astype(jnp.int32)
+    valid = (ids >= 0) & (ids < num_segments)
+    ids = jnp.where(valid, ids, num_segments)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    starts = jnp.searchsorted(
+        ids_sorted, jnp.arange(num_segments + 1, dtype=jnp.int32), side="left"
+    )
+    outs = []
+    for v in values:
+        vs = jnp.where(valid, v, 0.0)[order].astype(jnp.float32)
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(vs)])
+        outs.append((csum[starts[1:]] - csum[starts[:-1]]).astype(v.dtype))
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_columns3(table: jax.Array, idx: jax.Array):
+    """table (N, 3) gathered per-coordinate at idx (...) -> 3 arrays (...).
+
+    Forward stays coordinate-wise (a (..., 3) row gather would pad the minor
+    dim 3 -> 128 lanes on TPU); backward runs ONE shared sort for all three
+    coordinate cotangents.
+    """
+    return tuple(table[..., ax][idx] for ax in range(3))
+
+
+def _take_columns3_fwd(table, idx):
+    return take_columns3(table, idx), (idx, table.shape[0])
+
+
+def _take_columns3_bwd(res, g):
+    idx, n = res
+    flat = idx.reshape(-1)
+    sums = segment_sum_sorted_multi([gi.reshape(-1) for gi in g], flat, n)
+    return jnp.stack(sums, axis=-1), None
+
+
+take_columns3.defvjp(_take_columns3_fwd, _take_columns3_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def take_column(column: jax.Array, idx: jax.Array) -> jax.Array:
     """column (N,) gathered at idx (...) -> (...). Scatter-free adjoint."""

@@ -57,6 +57,15 @@ def weighted_mse_loss(
     return jnp.mean(importance * dist**gamma)
 
 
+def ema_update(teacher_params, student_params, global_step, factor: float = 0.99):
+    """Mean-teacher EMA update (reference trainer/basetrainer.py:164-168):
+    uses the true average until the exponential average is more correct."""
+    f = jnp.minimum(1.0 - 1.0 / (global_step + 1.0), factor)
+    return jax.tree_util.tree_map(
+        lambda t, s: t * f + s * (1.0 - f), teacher_params, student_params
+    )
+
+
 def img_mse(pred: jax.Array, gt: jax.Array) -> jax.Array:
     return jnp.mean((pred - gt) ** 2)
 
