@@ -225,10 +225,15 @@ class RenderNet(nn.Module):
     # render passes
     # ------------------------------------------------------------------
 
-    def _run_nerf(self, mlp, particles, sample_xyz, rays, ro, sigma_only=False):
+    def _features(self, particles, sample_xyz, rays, ro, sigma_only=False):
         nbrs = self.search(sample_xyz, particles)
-        feats, num_nn, full_mask = self._local_features(
+        return self._local_features(
             particles, sample_xyz, rays, ro, nbrs, sigma_only=sigma_only
+        )
+
+    def _run_nerf(self, mlp, particles, sample_xyz, rays, ro, sigma_only=False):
+        feats, num_nn, full_mask = self._features(
+            particles, sample_xyz, rays, ro, sigma_only=sigma_only
         )
         out = mlp(feats, sigma_only=sigma_only)
         n_rays, n_s = sample_xyz.shape[:2]
@@ -256,12 +261,14 @@ class RenderNet(nn.Module):
         keys = list(jax.random.split(key, 4)) if key is not None else [None] * 4
 
         results = {}
+        n_rays = rays.shape[0]
         z0, xyz0 = ray_ops.coarse_sample_rays(
             self.near, self.far, rays, self.n_samples, perturb=perturb, key=keys[0]
         )
-        rgbsigma0, num_nn0, mask0 = self._run_nerf(
-            self.nerf_coarse, particles, xyz0, rays, ro
-        )
+        feats0, num_nn0, mask0 = self._features(particles, xyz0, rays, ro)
+        rgbsigma0 = self.nerf_coarse(feats0).reshape(n_rays, self.n_samples, 4)
+        if self.use_mask:
+            rgbsigma0 = rgbsigma0 * mask0.astype(rgbsigma0.dtype)
         rgb0, depth0, weights0 = ray_ops.composite(
             rgbsigma0, z0, rays, noise_std, white_background, key=keys[1]
         )
@@ -274,16 +281,55 @@ class RenderNet(nn.Module):
         )
 
         if self.n_importance > 0:
-            xyz1, z1 = ray_ops.importance_sampling(
-                z0, weights0, self.n_importance, rays[:, :3], rays[:, 3:],
-                det=(perturb == 0), key=keys[2]
+            # The fine pass evaluates nerf_fine on the union of the coarse
+            # samples and n_importance new importance samples (reference
+            # utils/ray_utils.py:222-229 merges + sorts positions and
+            # re-searches ALL of them). The local-geometry features of the
+            # coarse positions are deterministic functions of position, so we
+            # REUSE the coarse feature vectors, search only the new samples,
+            # and sort (z, rgbsigma) per ray just before compositing —
+            # identical math, one third less search work.
+            z_mid = 0.5 * (z0[..., 1:] + z0[..., :-1])
+            z_new = ray_ops.sample_pdf(
+                z_mid, weights0[:, 1:-1], self.n_importance,
+                det=(perturb == 0), key=keys[2],
             )
-            rgbsigma1, num_nn1, mask1 = self._run_nerf(
-                self.nerf_fine, particles, xyz1, rays, ro
+            z_new = jax.lax.stop_gradient(z_new)
+            xyz_new = rays[:, None, :3] + rays[:, None, 3:] * z_new[..., None]
+
+            feats_new, num_nn_new, mask_new = self._features(
+                particles, xyz_new, rays, ro
             )
+            c = feats0.shape[-1]
+            feats_all = jnp.concatenate(
+                [
+                    feats0.reshape(n_rays, self.n_samples, c),
+                    feats_new.reshape(n_rays, self.n_importance, c),
+                ],
+                axis=1,
+            ).reshape(n_rays * (self.n_samples + self.n_importance), c)
+            rgbsigma1 = self.nerf_fine(feats_all).reshape(
+                n_rays, self.n_samples + self.n_importance, 4
+            )
+            mask1 = jnp.concatenate([mask0, mask_new], axis=1)
+            if self.use_mask:
+                rgbsigma1 = rgbsigma1 * mask1.astype(rgbsigma1.dtype)
+
+            z_cat = jnp.concatenate([z0, z_new], axis=-1)
+            order = jnp.argsort(z_cat, axis=-1)
+            z1 = jnp.take_along_axis(z_cat, order, axis=-1)
+            rgbsigma1 = jnp.take_along_axis(rgbsigma1, order[..., None], axis=1)
+
             rgb1, depth1, weights1 = ray_ops.composite(
                 rgbsigma1, z1, rays, noise_std, white_background, key=keys[3]
             )
+            num_nn1 = jnp.concatenate(
+                [
+                    num_nn0.reshape(n_rays, self.n_samples),
+                    num_nn_new.reshape(n_rays, self.n_importance),
+                ],
+                axis=1,
+            ).reshape(-1, 1)
             results.update(
                 rgb1=rgb1,
                 depth1=depth1,
