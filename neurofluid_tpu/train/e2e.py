@@ -189,7 +189,7 @@ class E2ETrainer(TrainerBase):
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
         self.rollout = make_rollout_fn(self.transition)
         self.render_full = self.make_chunk_renderer(
-            self.renderer, chunk=int(self.cfg.RENDERER.ray.ray_chunk)
+            self.renderer, chunk=self.eval_chunk_size()
         )
 
     # ------------------------------------------------------------------

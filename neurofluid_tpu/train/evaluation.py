@@ -78,7 +78,7 @@ class E2EEvaluator(TrainerBase):
 
         self.rollout = make_rollout_fn(self.transition)
         self.render_full = self.make_chunk_renderer(
-            self.renderer, chunk=int(cfg.RENDERER.ray.ray_chunk)
+            self.renderer, chunk=self.eval_chunk_size()
         )
 
     def eval(self, render: bool = True):
@@ -224,7 +224,7 @@ class RendererEvaluator(TrainerBase):
             loaded, _ = ckpt.restore_checkpoint(cfg.resume_from)
             self.params = jax.tree_util.tree_map(jnp.asarray, loaded["renderer"])
         self.render_full = self.make_chunk_renderer(
-            self.renderer, chunk=int(cfg.RENDERER.ray.ray_chunk)
+            self.renderer, chunk=self.eval_chunk_size()
         )
 
     def eval(self, max_frames: int = 53):

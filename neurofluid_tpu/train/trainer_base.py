@@ -48,6 +48,14 @@ class TrainerBase:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def eval_chunk_size(self) -> int:
+        """Ray-chunk size for full-image eval renders. The training chunk
+        (RENDERER.ray.ray_chunk = 1024, mirroring the reference) is far too
+        small to amortize dispatch; eval uses a larger chunk unless
+        RENDERER.ray.eval_ray_chunk overrides it."""
+        ray = self.cfg.RENDERER.ray
+        return int(ray.get("eval_ray_chunk", max(int(ray.ray_chunk), 8192)))
+
     # ------------------------------------------------------------------
     # pixel sampling (reference basetrainer.py:171-193 + trainer loops)
     # ------------------------------------------------------------------

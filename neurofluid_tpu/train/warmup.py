@@ -136,7 +136,7 @@ class WarmupTrainer(TrainerBase):
 
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self.render_full = self.make_chunk_renderer(
-            model, chunk=int(self.cfg.RENDERER.ray.ray_chunk)
+            model, chunk=self.eval_chunk_size()
         )
 
     # ------------------------------------------------------------------
