@@ -66,13 +66,13 @@ class RenderNet(nn.Module):
     nerf_width: int = 256
     compute_dtype: Any = jnp.float32
     search_backend: str = "auto"  # 'brute' | 'grid' | 'auto'
-    # 'approx' uses the TPU PartialReduce top-k (recall ~0.99) for slot
+    # 'approx' uses the TPU PartialReduce top-k (recall ~0.95) for slot
     # selection; counts and masks stay exact. 'sort' is the exact (and much
     # slower on TPU) pytorch3d-faithful selection.
     search_selection: str = "approx"
     grid_lower: tuple = (-1.5, -1.5, -1.5)
     grid_upper: tuple = (1.5, 1.5, 3.0)
-    grid_max_per_cell: int = 160
+    grid_max_per_cell: int = 128
     query_chunk: int = 16384
 
     @property

@@ -96,7 +96,7 @@ def _select_from_candidates(
     selection='sort' is exact (lax.top_k, which lowers to a full variadic
     sort over M on TPU — the dominant cost of large searches).
     selection='approx' uses the TPU PartialReduce op (lax.approx_max_k,
-    recall ~0.99); it may rarely swap/miss a neighbor when many candidates
+    recall ~0.95); it may rarely swap/miss a neighbor when many candidates
     compete, which only perturbs renderer features — counts and masks are
     computed exactly from `within` regardless of selection.
     """
@@ -119,7 +119,7 @@ def _select_from_candidates(
         raise ValueError(f"unknown order: {order}")
 
     if selection == "approx":
-        top, pos = jax.lax.approx_max_k(score, k, recall_target=0.99)
+        top, pos = jax.lax.approx_max_k(score, k, recall_target=0.95)
     else:
         top, pos = jax.lax.top_k(score, k)
     valid = jnp.isfinite(top)
