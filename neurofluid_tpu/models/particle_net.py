@@ -59,7 +59,12 @@ class ContinuousConvLayer(nn.Module):
             (kz, ky, kx, in_ch, self.filters),
             jnp.float32,
         )
-        return cconv_ops.continuous_conv(
+        # Open3D's ContinuousConv carries a bias (use_bias=True default) that
+        # the reference never disables; kept for checkpoint-level parity.
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.filters,), jnp.float32
+        )
+        out = cconv_ops.continuous_conv(
             kernel,
             points,
             feats,
@@ -71,6 +76,7 @@ class ContinuousConvLayer(nn.Module):
             align_corners=self.align_corners,
             query_chunk=self.query_chunk,
         )
+        return out + bias
 
 
 class ParticleNet(nn.Module):
@@ -89,7 +95,10 @@ class ParticleNet(nn.Module):
     search_backend: str = "auto"  # 'brute' | 'grid' | 'auto'
     grid_lower: tuple = (-1.5, -1.5, -1.5)
     grid_upper: tuple = (1.5, 1.5, 3.0)
-    grid_max_per_cell: int = 24
+    # cell = r = 0.1125 holds ~11 particles at rest density (0.05 spacing);
+    # 32 gives ~3x compression headroom. Overflow past the cap is FLAGGED via
+    # the diag output (never silent), at which point the trainer raises.
+    grid_max_per_cell: int = 32
     query_chunk: int = 4096
     # When set (inside shard_map over a mesh axis of this name), pos/vel are
     # treated as per-device shards of the particle set: neighbor search and
@@ -111,6 +120,11 @@ class ParticleNet(nn.Module):
         return pos_new, vel_new
 
     def _search(self, queries, points, radius, k, exclude_self):
+        """Returns (NeighborList, grid_overflow). grid_overflow is True when a
+        grid cell exceeded `grid_max_per_cell` and tail candidates were
+        dropped — the result may then be missing in-radius neighbors. Callers
+        MUST surface this (see `__call__`'s diag output); silently dropping
+        it corrupts physics (a compressed state packs >cap points per cell)."""
         backend = self.search_backend
         if backend == "auto":
             backend = "grid" if points.shape[0] >= 4096 else "brute"
@@ -120,27 +134,35 @@ class ParticleNet(nn.Module):
                 points, self.grid_lower, self.grid_upper, cell,
                 max_per_cell=self.grid_max_per_cell,
             )
-            result, _overflow = ns.radius_search_grid(
+            result, overflow = ns.radius_search_grid(
                 queries, grid, radius, k,
                 order="nearest", inclusive=True, exclude_self=exclude_self,
                 query_chunk=self.query_chunk,
             )
-            return result
-        return ns.radius_search_brute(
+            return result, overflow
+        result = ns.radius_search_brute(
             queries, points, radius, k,
             order="nearest", inclusive=True, exclude_self=exclude_self,
             query_chunk=self.query_chunk,
         )
+        return result, jnp.asarray(False)
 
     @nn.compact
-    def __call__(self, pos, vel, box, box_feats, feats=None):
+    def __call__(self, pos, vel, box, box_feats, feats=None, return_diag=False):
         """One transition step.
 
         pos, vel: (N, 3) fluid particle state.
         box, box_feats: (M, 3) boundary particles and their normals.
         feats: optional (N, F) extra per-particle features.
 
-        Returns (pos_corrected, vel_corrected, num_fluid_neighbors).
+        Returns (pos_corrected, vel_corrected, num_fluid_neighbors) or, with
+        `return_diag`, a 4th element: a dict of search-health flags
+        {"grid_overflow", "cap_exceeded"} that trainers MUST check on host —
+        either flag means the static-shape caps truncated real neighborhoods
+        (grid cell fuller than `grid_max_per_cell`, or more in-radius
+        neighbors than `fluid_neighbor_k`/`obstacle_neighbor_k`; the conv
+        then sees only the K nearest, where the reference's Open3D search is
+        uncapped, reference models/transmodel.py:80-98).
         """
         extent = self.filter_extent
         radius = extent / 2.0
@@ -167,10 +189,10 @@ class ParticleNet(nn.Module):
         fluid_feats = jnp.concatenate(fluid_feats, axis=-1)
         all_fluid_feats = gather_full(fluid_feats)
 
-        fluid_nbrs = self._search(
+        fluid_nbrs, ov_fluid = self._search(
             pos_new, all_pos_new, radius, self.fluid_neighbor_k, exclude_self=True
         )
-        box_nbrs = self._search(
+        box_nbrs, ov_box = self._search(
             pos_new, box, radius, self.obstacle_neighbor_k, exclude_self=False
         )
 
@@ -204,4 +226,13 @@ class ParticleNet(nn.Module):
         vel_corrected = (pos_corrected - pos) / self.timestep
 
         num_fluid_neighbors = fluid_nbrs.count.astype(jnp.float32)
+        if return_diag:
+            diag = {
+                "grid_overflow": jnp.logical_or(ov_fluid, ov_box),
+                "cap_exceeded": jnp.logical_or(
+                    jnp.any(fluid_nbrs.count > self.fluid_neighbor_k),
+                    jnp.any(box_nbrs.count > self.obstacle_neighbor_k),
+                ),
+            }
+            return pos_corrected, vel_corrected, num_fluid_neighbors, diag
         return pos_corrected, vel_corrected, num_fluid_neighbors

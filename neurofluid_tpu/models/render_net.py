@@ -59,6 +59,9 @@ class RenderNet(nn.Module):
     encode_smoothed_pos: bool = True
     encode_smoothed_dir: bool = True
     exclude_ray: bool = True
+    same_smooth_factor: bool = False
+    larger_alpha: float = 0.9
+    smaller_alpha: float = 0.1
     xyz_freqs: int = 10
     dir_freqs: int = 4
     density_freqs: int = 4
@@ -112,9 +115,15 @@ class RenderNet(nn.Module):
     # search + local geometry features
     # ------------------------------------------------------------------
 
-    def search(self, sample_xyz: jax.Array, particles: jax.Array) -> ns.NeighborList:
+    def search(self, sample_xyz: jax.Array, particles: jax.Array):
         """Ball query around flattened sample points (Q=(R*S), K) with
-        pytorch3d semantics (reference models/renderer.py:112-122)."""
+        pytorch3d semantics (reference models/renderer.py:112-122).
+
+        Returns (NeighborList, grid_overflow). grid_overflow=True means some
+        grid cell held more than `grid_max_per_cell` particles and tail
+        candidates were dropped — features may then silently miss in-radius
+        neighbors, so the flag is surfaced in every render result dict
+        ("overflow") for trainers to check on host."""
         backend = self.search_backend
         if backend == "auto":
             backend = "grid" if particles.shape[0] >= 4096 else "brute"
@@ -125,18 +134,19 @@ class RenderNet(nn.Module):
                 particles, self.grid_lower, self.grid_upper, radius,
                 max_per_cell=self.grid_max_per_cell,
             )
-            result, _overflow = ns.radius_search_grid(
+            result, overflow = ns.radius_search_grid(
                 flat, grid, radius, self.num_neighbors,
                 order="index", inclusive=False,
                 query_chunk=self.query_chunk,
                 selection=self.search_selection,
             )
-            return result
-        return ns.radius_search_brute(
+            return result, overflow
+        result = ns.radius_search_brute(
             flat, particles, radius, self.num_neighbors,
             order="index", inclusive=False, query_chunk=self.query_chunk,
             selection=self.search_selection,
         )
+        return result, jnp.asarray(False)
 
     def _local_features(self, particles, sample_xyz, rays, ro, nbrs, sigma_only=False):
         """Feature construction (reference models/renderer.py:96-179).
@@ -187,6 +197,24 @@ class RenderNet(nn.Module):
         ) / (w_sum + 1e-12)
         density = w_sum  # (Q, 1)
 
+        if not self.exclude_ray:
+            # Alpha-blend of the ray sample position and the weighted
+            # neighbor mean (reference models/renderer.py:98-109). The alpha
+            # starts at larger_alpha (0.9); unless `same_smooth_factor`,
+            # samples with num_nn <= 20 — a literal constant in the
+            # reference (`num_nn.le(20)`), NOT cfg N_neighbor — get
+            # smaller_alpha (0.1). With the default K = 20 slots, num_nn can
+            # never exceed 20, so that branch blends with alpha = 0.1
+            # everywhere; reproduced faithfully. The blended position feeds
+            # both the smoothed-pos PE and the smoothed direction below.
+            if self.same_smooth_factor:
+                alpha = jnp.full_like(num_nn, self.larger_alpha)
+            else:
+                alpha = jnp.where(
+                    num_nn <= 20.0, self.smaller_alpha, self.larger_alpha
+                )
+            smoothed_pos = flat_xyz * (1.0 - alpha) + smoothed_pos * alpha
+
         pos_feats = [positional_encoding(flat_xyz, self.xyz_freqs)]
         if self.encode_density:
             pos_feats.append(positional_encoding(density, self.density_freqs))
@@ -226,13 +254,14 @@ class RenderNet(nn.Module):
     # ------------------------------------------------------------------
 
     def _features(self, particles, sample_xyz, rays, ro, sigma_only=False):
-        nbrs = self.search(sample_xyz, particles)
-        return self._local_features(
+        nbrs, overflow = self.search(sample_xyz, particles)
+        feats, num_nn, full_mask = self._local_features(
             particles, sample_xyz, rays, ro, nbrs, sigma_only=sigma_only
         )
+        return feats, num_nn, full_mask, overflow
 
     def _run_nerf(self, mlp, particles, sample_xyz, rays, ro, sigma_only=False):
-        feats, num_nn, full_mask = self._features(
+        feats, num_nn, full_mask, overflow = self._features(
             particles, sample_xyz, rays, ro, sigma_only=sigma_only
         )
         out = mlp(feats, sigma_only=sigma_only)
@@ -240,7 +269,7 @@ class RenderNet(nn.Module):
         out = out.reshape(n_rays, n_s, out.shape[-1])
         if self.use_mask:
             out = out * full_mask.astype(out.dtype)
-        return out, num_nn, full_mask
+        return out, num_nn, full_mask, overflow
 
     def __call__(
         self,
@@ -265,7 +294,7 @@ class RenderNet(nn.Module):
         z0, xyz0 = ray_ops.coarse_sample_rays(
             self.near, self.far, rays, self.n_samples, perturb=perturb, key=keys[0]
         )
-        feats0, num_nn0, mask0 = self._features(particles, xyz0, rays, ro)
+        feats0, num_nn0, mask0, overflow0 = self._features(particles, xyz0, rays, ro)
         rgbsigma0 = self.nerf_coarse(feats0).reshape(n_rays, self.n_samples, 4)
         if self.use_mask:
             rgbsigma0 = rgbsigma0 * mask0.astype(rgbsigma0.dtype)
@@ -278,6 +307,7 @@ class RenderNet(nn.Module):
             opacity0=weights0.sum(1),
             num_nn_0=num_nn0,
             mask_0=mask0.sum(axis=(1, 2)),
+            overflow=overflow0,
         )
 
         if self.n_importance > 0:
@@ -297,9 +327,10 @@ class RenderNet(nn.Module):
             z_new = jax.lax.stop_gradient(z_new)
             xyz_new = rays[:, None, :3] + rays[:, None, 3:] * z_new[..., None]
 
-            feats_new, num_nn_new, mask_new = self._features(
+            feats_new, num_nn_new, mask_new, overflow_new = self._features(
                 particles, xyz_new, rays, ro
             )
+            results["overflow"] = jnp.logical_or(overflow0, overflow_new)
             c = feats0.shape[-1]
             feats_all = jnp.concatenate(
                 [
@@ -348,7 +379,7 @@ class RenderNet(nn.Module):
         z0, xyz0 = ray_ops.coarse_sample_rays(
             self.near, self.far, rays, self.n_samples, perturb=perturb, key=keys[0]
         )
-        rgbsigma0, num_nn0, mask0 = self._run_nerf(
+        rgbsigma0, num_nn0, mask0, overflow0 = self._run_nerf(
             self.nerf_coarse, particles, xyz0, rays, ro
         )
         rgb0, depth0, weights0 = ray_ops.composite(
@@ -357,6 +388,7 @@ class RenderNet(nn.Module):
         return dict(
             rgb0=rgb0, depth0=depth0, opacity0=weights0.sum(1),
             num_nn_0=num_nn0, mask_0=mask0.sum(axis=(1, 2)),
+            overflow=overflow0,
         )
 
     def fine_rendering(
@@ -369,7 +401,7 @@ class RenderNet(nn.Module):
         z0, xyz0 = ray_ops.coarse_sample_rays(
             self.near, self.far, rays, self.n_samples, perturb=perturb, key=keys[0]
         )
-        sigmas0, _, mask0 = self._run_nerf(
+        sigmas0, _, mask0, overflow0 = self._run_nerf(
             self.nerf_coarse, particles, xyz0, rays, ro, sigma_only=True
         )
         # weights from sigma-only compositing (rgb channels unused)
@@ -382,7 +414,7 @@ class RenderNet(nn.Module):
             z0, weights0, self.n_importance, rays[:, :3], rays[:, 3:],
             det=(perturb == 0), key=keys[2]
         )
-        rgbsigma1, num_nn1, mask1 = self._run_nerf(
+        rgbsigma1, num_nn1, mask1, overflow1 = self._run_nerf(
             self.nerf_fine, particles, xyz1, rays, ro
         )
         rgb1, depth1, weights1 = ray_ops.composite(
@@ -391,6 +423,7 @@ class RenderNet(nn.Module):
         return dict(
             rgb1=rgb1, depth1=depth1, opacity1=weights1.sum(1),
             num_nn_1=num_nn1, mask_1=mask1.sum(axis=(1, 2)),
+            overflow=jnp.logical_or(overflow0, overflow1),
         )
 
 

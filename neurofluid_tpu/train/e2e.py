@@ -41,7 +41,17 @@ from neurofluid_tpu.train.warmup import build_renderer
 from neurofluid_tpu.utils.metrics import FluidErrors, psnr as psnr_np
 
 
-def make_e2e_train_step(transition, renderer, opt_r, opt_t, bounds, bd_weight):
+def _leaf_norms(tree):
+    """Per-parameter L2 grad norms as one vector — the reference's
+    `cal_grad_norm` histogram payload (reference basetrainer.py:37-42)."""
+    return jnp.stack(
+        [jnp.linalg.norm(x.ravel()) for x in jax.tree_util.tree_leaves(tree)]
+    )
+
+
+def make_e2e_train_step(
+    transition, renderer, opt_r, opt_t, bounds, bd_weight, grad_clip_value=0.0
+):
     """Build the (unjitted) end-to-end train step.
 
     One transition step from detached state + multi-view render at t+1 +
@@ -55,7 +65,9 @@ def make_e2e_train_step(transition, renderer, opt_r, opt_t, bounds, bd_weight):
         pos, vel, box, nrm, ro_v, rays_v, rgbs_v,
     ):
         def loss_fn(pr, pt):
-            pred_pos, pred_vel, _nn = transition.apply(pt, pos, vel, box, nrm)
+            pred_pos, pred_vel, _nn, diag = transition.apply(
+                pt, pos, vel, box, nrm, return_diag=True
+            )
 
             def render_view(ro, rays):
                 return renderer.apply(pr, pred_pos, ro, rays)
@@ -68,8 +80,18 @@ def make_e2e_train_step(transition, renderer, opt_r, opt_t, bounds, bd_weight):
             total = rgbloss + bd_weight * bd
             aux = {
                 "rgbloss_0": jnp.sum(mse0), "rgbloss_1": jnp.sum(mse1),
+                "mse0_views": mse0, "mse1_views": mse1,
                 "boundary_loss": bd,
                 "pred_pos": pred_pos, "pred_vel": pred_vel,
+                # search-health flags (overflow policy: trainers check on
+                # host and fail loudly — never silently corrupted physics)
+                "search_overflow": jnp.logical_or(
+                    diag["grid_overflow"], jnp.any(outs["overflow"])
+                ),
+                "search_cap_exceeded": diag["cap_exceeded"],
+                # per-view neighbor counts for the reference's histograms
+                # (reference trainer_e2e.py:247-253)
+                "num_nn_0": outs["num_nn_0"], "num_nn_1": outs["num_nn_1"],
             }
             return total, aux
 
@@ -83,8 +105,22 @@ def make_e2e_train_step(transition, renderer, opt_r, opt_t, bounds, bd_weight):
 
         next_pos = jax.lax.stop_gradient(aux.pop("pred_pos"))
         next_vel = jax.lax.stop_gradient(aux.pop("pred_vel"))
-        aux["grad_norm_renderer"] = optax.global_norm(g_r)
-        aux["grad_norm_transition"] = optax.global_norm(g_t)
+        gn_r = optax.global_norm(g_r)
+        gn_t = optax.global_norm(g_t)
+        aux["grad_norm_renderer"] = gn_r
+        aux["grad_norm_transition"] = gn_t
+        if grad_clip_value:
+            # per-parameter grad-norm histograms before/after the per-model
+            # global-norm clip (reference trainer_e2e.py:268-276, 298-302)
+            clip = jnp.asarray(grad_clip_value, gn_r.dtype)
+            aux["grad_hist_renderer_before"] = _leaf_norms(g_r)
+            aux["grad_hist_transition_before"] = _leaf_norms(g_t)
+            aux["grad_hist_renderer_after"] = aux[
+                "grad_hist_renderer_before"
+            ] * jnp.minimum(1.0, clip / (gn_r + 1e-16))
+            aux["grad_hist_transition_after"] = aux[
+                "grad_hist_transition_before"
+            ] * jnp.minimum(1.0, clip / (gn_t + 1e-16))
         return (
             params_r, params_t, opt_r_state, opt_t_state,
             loss, next_pos, next_vel, aux,
@@ -162,12 +198,23 @@ class E2ETrainer(TrainerBase):
         use_sched = bool(lr.get("use_scheduler", True))
         r_lr = float(lr.get("renderer_lr", 3e-4))
         t_lr = float(lr.get("trans_lr", 1e-5))
+        # seperate_render_transition=False is the reference's single-optimizer
+        # mode (reference trainer_e2e.py:71-86): one Adam with per-group base
+        # LRs and the RENDERER piecewise schedule applied to both groups.
+        # Adam state is per-parameter, so two optax transforms with identical
+        # schedule shape are mathematically the single torch optimizer.
+        separate = bool(self.cfg.TRAIN.get("seperate_render_transition", True))
         self.sched_r = (
             schedules.e2e_renderer_schedule(r_lr) if use_sched else (lambda s: r_lr)
         )
-        self.sched_t = (
-            schedules.e2e_transition_schedule(t_lr) if use_sched else (lambda s: t_lr)
-        )
+        if use_sched:
+            self.sched_t = (
+                schedules.e2e_transition_schedule(t_lr)
+                if separate
+                else schedules.e2e_renderer_schedule(t_lr)
+            )
+        else:
+            self.sched_t = lambda s: t_lr
         clip = float(self.cfg.TRAIN.get("grad_clip_value", 0))
 
         def make(sched):
@@ -185,9 +232,10 @@ class E2ETrainer(TrainerBase):
         train_step = make_e2e_train_step(
             self.transition, self.renderer, self.opt_r, self.opt_t,
             self.box_bounds, float(self.cfg.TRAIN.loss_weight.boundary_loss),
+            grad_clip_value=float(self.cfg.TRAIN.get("grad_clip_value", 0)),
         )
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
-        self.rollout = make_rollout_fn(self.transition)
+        self.rollout = make_rollout_fn(self.transition, with_diag=True)
         self.render_full = self.make_chunk_renderer(
             self.renderer, chunk=self.eval_chunk_size()
         )
@@ -258,10 +306,39 @@ class E2ETrainer(TrainerBase):
                 last_loss = loss
 
                 if (global_step + 1) % log_interval == 0:
+                    self.check_search_overflow(
+                        aux["search_overflow"], global_step, "e2e-train"
+                    )
                     self.logger.scalar("train/loss", float(loss), global_step)
                     for k in ("rgbloss_0", "rgbloss_1", "boundary_loss",
-                              "grad_norm_renderer", "grad_norm_transition"):
+                              "grad_norm_renderer", "grad_norm_transition",
+                              "search_cap_exceeded"):
                         self.logger.scalar(f"train/{k}", float(aux[k]), global_step)
+                    # per-view scalars + neighbor-count histograms
+                    # (reference trainer_e2e.py:247-253)
+                    for v, name in enumerate(self.train_views):
+                        m0 = float(aux["mse0_views"][v])
+                        m1 = float(aux["mse1_views"][v])
+                        self.logger.scalar(f"{name}/rgbloss_0", m0, global_step)
+                        self.logger.scalar(f"{name}/rgbloss", m0 + m1, global_step)
+                        self.logger.histogram(
+                            f"{name}/num_neighbors_0",
+                            np.asarray(aux["num_nn_0"][v]), global_step,
+                        )
+                        self.logger.histogram(
+                            f"{name}/num_neighbors_1",
+                            np.asarray(aux["num_nn_1"][v]), global_step,
+                        )
+                    # grad-norm histograms before/after clip
+                    # (reference trainer_e2e.py:268-276, 298-302)
+                    if "grad_hist_renderer_before" in aux:
+                        for tag in (
+                            "grad_hist_renderer_before", "grad_hist_renderer_after",
+                            "grad_hist_transition_before", "grad_hist_transition_after",
+                        ):
+                            self.logger.histogram(
+                                f"train/{tag}", np.asarray(aux[tag]), global_step
+                            )
                     self.logger.scalar(
                         "train/lr_renderer", float(self.sched_r(global_step)), global_step
                     )
@@ -286,14 +363,16 @@ class E2ETrainer(TrainerBase):
         """Rollout eval + sparse frame rendering (reference :305-371)."""
         d0 = self.test_dataset[0]
         n_steps = len(self.test_dataset)
-        traj = np.asarray(
-            self.rollout(
-                self.params_t,
-                jnp.asarray(d0["particles_pos"]), jnp.asarray(d0["particles_vel"]),
-                jnp.asarray(d0["box"]), jnp.asarray(d0["box_normals"]),
-                n_steps,
-            )
+        traj, rollout_diag = self.rollout(
+            self.params_t,
+            jnp.asarray(d0["particles_pos"]), jnp.asarray(d0["particles_vel"]),
+            jnp.asarray(d0["box"]), jnp.asarray(d0["box_normals"]),
+            n_steps,
         )
+        self.check_search_overflow(
+            rollout_diag["grid_overflow"], step_idx, "e2e-eval-rollout"
+        )
+        traj = np.asarray(traj)
         fluid_errors = FluidErrors()
         dists = []
         outdir = osp.join(self.particlepath, str(step_idx))

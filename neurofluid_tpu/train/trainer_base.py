@@ -48,6 +48,36 @@ class TrainerBase:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    # ------------------------------------------------------------------
+    # search-health policy
+    # ------------------------------------------------------------------
+
+    def check_search_overflow(self, flag, step, context: str):
+        """Enforce the neighbor-search overflow policy.
+
+        `flag` is the (host-fetched) boolean emitted by the models' search
+        diagnostics: a grid cell exceeded `grid_max_per_cell` (tail candidates
+        dropped) or a neighborhood exceeded its fixed-K cap where the
+        reference semantics are uncapped. Static shapes make silent
+        auto-regrow impossible inside jit, so the policy is fail-loudly:
+        raise (default) or warn when cfg TRAIN.on_search_overflow == 'warn'.
+        """
+        if not bool(np.asarray(flag)):
+            return
+        msg = (
+            f"neighbor-search overflow at step {step} ({context}): a cell "
+            "grid bucket or fixed-K neighborhood exceeded its static cap, so "
+            "near neighbors were dropped and the physics/features are "
+            "corrupted. Increase grid_max_per_cell / fluid_neighbor_k (or "
+            "the relevant cap) and restart."
+        )
+        policy = str(self.cfg.TRAIN.get("on_search_overflow", "raise"))
+        if policy == "warn":
+            print(f"WARNING: {msg}")
+            self.logger.scalar(f"overflow/{context}", 1.0, step)
+        else:
+            raise RuntimeError(msg)
+
     def eval_chunk_size(self) -> int:
         """Ray-chunk size for full-image eval renders. The training chunk
         (RENDERER.ray.ray_chunk = 1024, mirroring the reference) is far too
@@ -99,6 +129,11 @@ class TrainerBase:
                 outs.append(jax.tree_util.tree_map(np.asarray, out))
             merged = {}
             for k in outs[0]:
+                if outs[0][k].ndim == 0:
+                    # scalar diagnostics (e.g. the search overflow flag):
+                    # one entry per chunk
+                    merged[k] = np.stack([o[k] for o in outs])
+                    continue
                 cat = np.concatenate([o[k] for o in outs], axis=0)
                 # outputs are either per-ray (dim0 = chunk) or per-sample
                 # (dim0 = chunk * S); trim the final chunk's padding either way

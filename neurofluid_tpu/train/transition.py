@@ -43,16 +43,28 @@ def build_particle_net(cfg) -> ParticleNet:
     )
 
 
-def make_rollout_fn(net: ParticleNet):
-    """(params, pos, vel, box, nrm, n_steps) -> (F, N, 3) predicted positions."""
+def make_rollout_fn(net: ParticleNet, with_diag: bool = False):
+    """(params, pos, vel, box, nrm, n_steps) -> (F, N, 3) predicted positions.
+
+    With `with_diag`, returns (traj, diag) where diag is the OR-reduction of
+    the per-step search-health flags (see ParticleNet.__call__)."""
 
     def rollout(params, pos, vel, box, box_normals, n_steps: int):
         def body(carry, _):
-            p, v = carry
-            p2, v2, _ = net.apply(params, p, v, box, box_normals)
-            return (p2, v2), p2
+            p, v, ov = carry
+            p2, v2, _, diag = net.apply(
+                params, p, v, box, box_normals, return_diag=True
+            )
+            ov = {k: jnp.logical_or(ov[k], diag[k]) for k in ov}
+            return (p2, v2, ov), p2
 
-        _, traj = jax.lax.scan(body, (pos, vel), None, length=n_steps)
+        ov0 = {
+            "grid_overflow": jnp.asarray(False),
+            "cap_exceeded": jnp.asarray(False),
+        }
+        (_, _, ov), traj = jax.lax.scan(body, (pos, vel, ov0), None, length=n_steps)
+        if with_diag:
+            return traj, ov
         return traj
 
     return rollout
@@ -109,14 +121,25 @@ class TransitionTrainer(TrainerBase):
 
         def train_step(params, opt_state, pos0, vel0, pos1, pos2, box, nrm):
             def loss_fn(p):
-                pred1, v1, nn1 = net.apply(p, pos0, vel0, box, nrm)
-                pred2, v2, nn2 = net.apply(p, pred1, v1, box, nrm)
+                pred1, v1, nn1, diag1 = net.apply(
+                    p, pos0, vel0, box, nrm, return_diag=True
+                )
+                pred2, v2, nn2, diag2 = net.apply(
+                    p, pred1, v1, box, nrm, return_diag=True
+                )
                 l1 = losses.weighted_mse_loss(pred1, pos1, nn1)
                 l2 = losses.weighted_mse_loss(pred2, pos2, nn2)
                 b1 = losses.boundary_loss(pred1, bounds)
                 b2 = losses.boundary_loss(pred2, bounds)
                 total = 0.5 * l1 + 0.5 * l2 + b1 + b2
-                return total, {"loss1": l1, "loss2": l2, "bloss1": b1, "bloss2": b2}
+                overflow = jnp.logical_or(
+                    diag1["grid_overflow"], diag2["grid_overflow"]
+                )
+                cap = jnp.logical_or(diag1["cap_exceeded"], diag2["cap_exceeded"])
+                return total, {
+                    "loss1": l1, "loss2": l2, "bloss1": b1, "bloss2": b2,
+                    "search_overflow": overflow, "search_cap_exceeded": cap,
+                }
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             gnorm = optax.global_norm(grads)
@@ -126,7 +149,7 @@ class TransitionTrainer(TrainerBase):
             return params, opt_state, loss, aux
 
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self.rollout = make_rollout_fn(net)
+        self.rollout = make_rollout_fn(net, with_diag=True)
 
     def resume(self, path):
         target = {"step": 0, "transition": self.params, "opt_state": self.opt_state}
@@ -161,6 +184,9 @@ class TransitionTrainer(TrainerBase):
                 )
                 last_loss = loss
                 if (global_step + 1) % log_interval == 0:
+                    self.check_search_overflow(
+                        aux.pop("search_overflow"), global_step, "transition"
+                    )
                     self.logger.scalar("loss", float(loss), global_step)
                     for k, v in aux.items():
                         self.logger.scalar(k, float(v), global_step)
@@ -174,11 +200,14 @@ class TransitionTrainer(TrainerBase):
         self.eval_count += 1
         d0 = self.test_dataset[0]
         n_steps = len(self.test_dataset)
-        traj = self.rollout(
+        traj, rollout_diag = self.rollout(
             self.params,
             jnp.asarray(d0["particles_pos_0"]), jnp.asarray(d0["particles_vel_0"]),
             jnp.asarray(d0["box"]), jnp.asarray(d0["box_normals"]),
             n_steps,
+        )
+        self.check_search_overflow(
+            rollout_diag["grid_overflow"], step_idx, "transition-eval-rollout"
         )
         traj = np.asarray(traj)
         fluid_errors = FluidErrors()

@@ -50,8 +50,10 @@ def build_renderer(cfg) -> RenderNet:
         encode_smoothed_pos=bool(r.encoding.smoothed_pos),
         encode_smoothed_dir=bool(r.encoding.smoothed_dir),
         exclude_ray=bool(r.encoding.exclude_ray),
+        same_smooth_factor=bool(r.encoding.get("same_smooth_factor", False)),
         compute_dtype=jnp.bfloat16 if r.get("bf16", False) else jnp.float32,
         search_backend=r.NN_search.get("backend", "auto"),
+        search_selection=r.NN_search.get("selection", "approx"),
     )
 
 
@@ -127,7 +129,7 @@ class WarmupTrainer(TrainerBase):
                 mse1 = jnp.mean((outs["rgb1"] - rgbs_v) ** 2, axis=(1, 2))
                 # sum of per-view losses (reference trainer_renderer.py:127-133)
                 total = jnp.sum(mse0 + mse1)
-                return total, (mse0, mse1)
+                return total, (mse0, mse1, jnp.any(outs["overflow"]))
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -184,12 +186,13 @@ class WarmupTrainer(TrainerBase):
             rays_v = jnp.asarray(np.stack(rays_sel))
             rgbs_v = jnp.asarray(np.stack(rgbs_sel))
 
-            self.params, self.opt_state, loss, (mse0, mse1) = self.train_step(
+            self.params, self.opt_state, loss, (mse0, mse1, overflow) = self.train_step(
                 self.params, self.opt_state, particles, ro_v, rays_v, rgbs_v
             )
             last_loss = loss
 
             if (step + 1) % log_interval == 0:
+                self.check_search_overflow(overflow, step, "warmup-render")
                 loss = float(loss)
                 self.logger.scalar("train/loss", loss, step)
                 self.logger.scalar("train/lr", float(self.schedule(step)), step)

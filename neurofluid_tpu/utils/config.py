@@ -84,6 +84,82 @@ _STAGE_FILES = {
     "end2end": "end2end.yaml",
 }
 
+# Keys that are legal on top of the stage-default YAML schema: CLI flags,
+# dataset-block keys (configs/dataset.yaml), and optional knobs the trainers
+# consume via .get(). Anything NOT in the default YAML and not listed here is
+# rejected by `validate_keys` — unknown keys silently doing nothing is how
+# config lies happen.
+_EXTRA_KEYS = {
+    "": {
+        "expdir", "expname", "dataset", "config", "dataset_config",
+        "resume_from", "data_type", "near", "far", "gravity", "train", "test",
+    },
+    "train": {"start_index", "end_index", "path", "views"},
+    "train.views": {"warmup", "dynamic"},
+    "test": {"start_index", "end_index", "path", "views"},
+    "TRAIN": {
+        "search_backend", "on_search_overflow", "gravity", "epochs",
+        "N_iters", "precrop_iters", "log_interval", "save_interval",
+        "grad_clip_value", "particle_radius", "partial_load",
+        "pretrained", "pretrained_renderer", "pretrained_transition_model",
+        "seperate_render_transition", "loss_weight", "imgW", "imgH", "scale",
+    },
+    "TEST": {"save_obj", "seed", "datapath", "datatype", "gravity",
+             "start_index", "end_index", "camera_angle_x", "near", "far"},
+    "RENDERER": {"bf16"},
+    "RENDERER.ray": {"eval_ray_chunk"},
+    "RENDERER.NN_search": {"selection"},
+}
+
+
+def _schema_paths(node: dict, prefix: str = "") -> set:
+    paths = set()
+    for k, v in node.items():
+        p = f"{prefix}.{k}" if prefix else str(k)
+        paths.add(p)
+        if isinstance(v, dict):
+            paths |= _schema_paths(v, p)
+    return paths
+
+
+def validate_keys(cfg: "ConfigNode", stage: str) -> None:
+    """Reject unknown config keys (fail-loudly config contract).
+
+    The reference's yacs `cfg.merge_from_file` silently accepts any key the
+    code never reads; here every key must be either in the stage's default
+    YAML schema or in the documented extras table. Raises ValueError naming
+    the offending path(s).
+    """
+    defaults = load_config(stage)
+    allowed = _schema_paths(defaults.to_dict())
+    extras = set()
+    for prefix, names in _EXTRA_KEYS.items():
+        for n in names:
+            extras.add(f"{prefix}.{n}" if prefix else n)
+    allowed |= extras
+
+    unknown = []
+
+    def walk(node: dict, prefix: str):
+        for k, v in node.items():
+            p = f"{prefix}.{k}" if prefix else str(k)
+            if p not in allowed:
+                # subtrees rooted at a dict-valued extra (e.g. TRAIN.datapath
+                # in a stage whose defaults lack it) are accepted wholesale
+                if not any(p.startswith(e + ".") for e in extras):
+                    unknown.append(p)
+                continue
+            if isinstance(v, dict):
+                walk(v, p)
+
+    walk(cfg.to_dict(), "")
+    if unknown:
+        raise ValueError(
+            f"unknown config key(s) for stage '{stage}': {sorted(unknown)}. "
+            "Every key must be consumed; add it to the stage YAML schema or "
+            "neurofluid_tpu.utils.config._EXTRA_KEYS if it is real."
+        )
+
 
 def load_config(stage: str, config_file: str = "") -> ConfigNode:
     """Load the per-stage default YAML (or an explicit file)."""
@@ -117,6 +193,7 @@ def stage_config(stage: str, argv=None) -> ConfigNode:
     if args["dataset"]:
         cfg.merge(dataset_config(args["dataset_config"])[args["dataset"]])
     cfg.merge({k: v for k, v in args.items()})
+    validate_keys(cfg, stage)
 
     expdir = osp.join(args["expdir"], args["expname"])
     os.makedirs(expdir, exist_ok=True)

@@ -123,15 +123,14 @@ def ssim(pred: np.ndarray, gt: np.ndarray, data_range: float = 1.0) -> float:
     return float(np.mean(vals))
 
 
-def lpips(pred: np.ndarray, gt: np.ndarray) -> float:
-    """Perceptual metric. Needs pretrained VGG weights on disk; this
-    environment has no network access, so we gate instead of silently
-    approximating."""
-    raise NotImplementedError(
-        "LPIPS requires pretrained VGG weights, which are unavailable in this "
-        "offline environment. Use psnr()/ssim(), or provide weights and wire "
-        "them through utils.metrics.lpips."
-    )
+def lpips(pred: np.ndarray, gt: np.ndarray, weights_path: str | None = None) -> float:
+    """LPIPS(VGG) perceptual metric (reference utils/evaluate_images.ipynb
+    cell 5), evaluated natively in JAX from a user-supplied weights file
+    (see utils/lpips.py for the format and an export helper). Raises
+    FileNotFoundError with instructions when no weights are configured."""
+    from neurofluid_tpu.utils import lpips as lpips_mod
+
+    return lpips_mod.get_evaluator(weights_path)(pred, gt)
 
 
 def chamfer_distance_np(x: np.ndarray, y: np.ndarray) -> float:

@@ -127,6 +127,55 @@ class TestParticleNet:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(np.any(np.asarray(l) != 0) for l in leaves)
 
+    def test_overflow_flagged_on_compressed_state(self, rng):
+        """A compressed state (denser than grid_max_per_cell allows) must set
+        diag['grid_overflow'] — the silent-candidate-drop failure mode."""
+        # 2000 particles in one ~cell-sized blob (cell = r = 0.1125)
+        pos = jnp.asarray(rng.uniform(-0.05, 0.05, size=(2000, 3)).astype(np.float32))
+        vel = jnp.zeros_like(pos)
+        box = jnp.asarray(rng.uniform(-0.6, 0.6, size=(30, 3)).astype(np.float32))
+        nrm = jnp.zeros_like(box)
+        net = ParticleNet(search_backend="grid")
+        params = net.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+        _, _, _, diag = net.apply(params, pos, vel, box, nrm, return_diag=True)
+        assert bool(np.asarray(diag["grid_overflow"]))
+        assert bool(np.asarray(diag["cap_exceeded"]))
+        # rest-density state: no overflow, no cap hit
+        side = np.arange(8, dtype=np.float32) * 0.05
+        grid_pos = np.stack(np.meshgrid(side, side, side, indexing="ij"), -1)
+        pos2 = jnp.asarray(grid_pos.reshape(-1, 3))
+        _, _, _, diag2 = net.apply(
+            params, pos2, jnp.zeros_like(pos2), box, nrm, return_diag=True
+        )
+        assert not bool(np.asarray(diag2["grid_overflow"]))
+        assert not bool(np.asarray(diag2["cap_exceeded"]))
+
+    def test_cap_k_reproduces_uncapped_on_compressed_state(self, rng):
+        """fluid_neighbor_k=64 (nearest-K) vs effectively-uncapped K on a 2x
+        compressed state: the poly6 window decays with distance, so dropping
+        the farthest neighbors must stay within tolerance of the reference's
+        uncapped Open3D CConv semantics (reference models/transmodel.py:80-98)."""
+        # ~2x rest density: 0.04 spacing -> ~90 neighbors in r=0.1125
+        side = np.arange(10, dtype=np.float32) * 0.04
+        grid_pos = np.stack(np.meshgrid(side, side, side, indexing="ij"), -1)
+        pos = jnp.asarray(grid_pos.reshape(-1, 3))
+        pos = pos + jnp.asarray(rng.normal(size=pos.shape).astype(np.float32)) * 0.002
+        vel = jnp.asarray(rng.normal(size=pos.shape).astype(np.float32)) * 0.1
+        box = jnp.asarray(rng.uniform(-0.3, 0.7, size=(40, 3)).astype(np.float32))
+        nrm = jnp.zeros_like(box)
+        net64 = ParticleNet(search_backend="brute", fluid_neighbor_k=64)
+        net_uncapped = ParticleNet(search_backend="brute", fluid_neighbor_k=160)
+        params = net64.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+        p64, v64, nn64, diag = net64.apply(params, pos, vel, box, nrm, return_diag=True)
+        pu, vu, nnu = net_uncapped.apply(params, pos, vel, box, nrm)
+        # the capped run must notice it truncated
+        assert bool(np.asarray(diag["cap_exceeded"]))
+        # true counts identical regardless of cap
+        np.testing.assert_array_equal(np.asarray(nn64), np.asarray(nnu))
+        # position corrections within tolerance of uncapped
+        dp = np.abs(np.asarray(p64) - np.asarray(pu))
+        assert dp.max() < 5e-4, f"cap-64 deviates from uncapped by {dp.max()}"
+
     def test_grid_backend_matches_brute(self, rng):
         pos, vel, box, nrm = _scene(rng, n=120, m=30)
         net_b = ParticleNet(search_backend="brute")
@@ -205,9 +254,13 @@ class TestRenderNet:
         ro = jnp.asarray([0.0, 0.0, 2.0])
         params = model.init(jax.random.PRNGKey(0), particles, ro, rays)
         coarse = model.apply(params, particles, ro, rays, method=model.coarse_rendering)
-        assert set(coarse) == {"rgb0", "depth0", "opacity0", "num_nn_0", "mask_0"}
+        assert set(coarse) == {
+            "rgb0", "depth0", "opacity0", "num_nn_0", "mask_0", "overflow"
+        }
         fine = model.apply(params, particles, ro, rays, method=model.fine_rendering)
-        assert set(fine) == {"rgb1", "depth1", "opacity1", "num_nn_1", "mask_1"}
+        assert set(fine) == {
+            "rgb1", "depth1", "opacity1", "num_nn_1", "mask_1", "overflow"
+        }
         full = model.apply(params, particles, ro, rays)
         # deterministic coarse pass agrees between entry points
         np.testing.assert_allclose(
@@ -235,3 +288,91 @@ class TestRenderNet:
         # reference default encodings: xyz 63+9+63+63=198, dir 27+27=54
         assert model.in_channels_xyz == 198
         assert model.in_channels_dir == 54
+
+    def _smoothing_oracle(self, flat_xyz, nbrs, particles, radius,
+                          exclude_ray, same_smooth_factor):
+        """Reference smoothing_position in numpy (reference renderer.py:96-109):
+        masked gather pads neighbors with the ORIGIN, weights include padding,
+        and the exclude_ray=False branch alpha-blends with the ray position
+        using num_nn from dists.ne(0)."""
+        idx = np.asarray(nbrs.idx)
+        mask = np.asarray(nbrs.mask)
+        pts = np.asarray(particles)
+        q = np.asarray(flat_xyz)
+        nb = np.where(mask[..., None], pts[np.maximum(idx, 0)], 0.0)  # (Q,K,3)
+        d = np.linalg.norm(nb - q[:, None, :], axis=-1)
+        w = np.clip(1.0 - (d / radius) ** 3, 0.0, None)
+        weighted = (w[..., None] * nb).sum(1) / (w.sum(1, keepdims=True) + 1e-12)
+        if exclude_ray:
+            return weighted
+        num_nn = np.asarray(nbrs.sq_dists != 0).sum(-1, keepdims=True)
+        if same_smooth_factor:
+            alpha = np.full((q.shape[0], 1), 0.9)
+        else:
+            alpha = np.where(num_nn <= 20, 0.1, 0.9)
+        return q * (1.0 - alpha) + weighted * alpha
+
+    @pytest.mark.parametrize(
+        "exclude_ray,same_smooth_factor",
+        [(True, False), (False, False), (False, True)],
+    )
+    def test_smoothing_branches_match_oracle(self, rng, exclude_ray,
+                                             same_smooth_factor):
+        """All three smoothing modes vs a numpy oracle of the reference
+        (reference models/renderer.py:96-109). The smoothed position is read
+        back out of the feature vector (PE includes the raw input as its
+        first 3 channels)."""
+        from neurofluid_tpu.ops import neighbor_search as ns
+
+        model = _tiny_renderer(
+            exclude_ray=exclude_ray, same_smooth_factor=same_smooth_factor,
+            num_neighbors=8,
+        )
+        particles = jnp.asarray(
+            rng.uniform(-0.3, 0.3, size=(60, 3)).astype(np.float32)
+        )
+        rays = self._rays(3)
+        ro = jnp.asarray([0.0, 0.0, 2.0])
+        n_s = 8
+        z = np.linspace(1.0, 3.0, n_s, dtype=np.float32)
+        sample_xyz = jnp.asarray(
+            np.asarray(rays)[:, None, :3]
+            + np.asarray(rays)[:, None, 3:] * z[None, :, None]
+        )
+        flat = sample_xyz.reshape(-1, 3)
+        nbrs = ns.ball_query(flat, particles, model.search_radius, 8)
+
+        params = model.init(jax.random.PRNGKey(0), particles, ro, rays)
+        feats, num_nn, full_mask = model.apply(
+            params, particles, sample_xyz, rays, ro, nbrs,
+            method=RenderNet._local_features,
+        )
+        # feature layout: xyz PE (63) | density PE (9) | smoothed_pos PE (63)
+        got = np.asarray(feats[:, 72:75])
+        want = self._smoothing_oracle(
+            flat, nbrs, particles, model.search_radius,
+            exclude_ray, same_smooth_factor,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_overflow_flag_grid_backend(self, rng):
+        """Grid cells fuller than grid_max_per_cell must FLAG, never silently
+        drop (overflow policy)."""
+        model = _tiny_renderer(
+            search_backend="grid", grid_max_per_cell=8, num_neighbors=4
+        )
+        # 500 particles crammed into one search-radius cell (0.225)
+        particles = jnp.asarray(
+            rng.uniform(-0.05, 0.05, size=(500, 3)).astype(np.float32)
+        )
+        rays = self._rays(2)
+        ro = jnp.asarray([0.0, 0.0, 2.0])
+        params = model.init(jax.random.PRNGKey(0), particles, ro, rays)
+        out = model.apply(params, particles, ro, rays)
+        assert bool(np.asarray(out["overflow"]))
+        # sparse scene: no overflow
+        sparse = jnp.asarray(
+            (rng.uniform(-0.4, 0.4, size=(40, 3))).astype(np.float32)
+        )
+        out2 = model.apply(params, sparse, ro, rays)
+        assert not bool(np.asarray(out2["overflow"]))

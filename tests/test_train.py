@@ -204,6 +204,104 @@ class TestE2ETrainer:
         assert tr2.start_step == 4
 
 
+class TestOverflowPolicy:
+    def _stub_trainer(self, tmp_path, policy=None):
+        from neurofluid_tpu.utils.config import ConfigNode
+        from neurofluid_tpu.train.trainer_base import TrainerBase
+
+        train = dict(seed=0)
+        if policy is not None:
+            train["on_search_overflow"] = policy
+        cfg = ConfigNode(dict(expdir=str(tmp_path), expname="x", TRAIN=train))
+        return TrainerBase(cfg)
+
+    def test_raises_by_default(self, tmp_path):
+        tr = self._stub_trainer(tmp_path)
+        tr.check_search_overflow(False, 0, "ctx")  # no-op on clean flag
+        with pytest.raises(RuntimeError, match="overflow"):
+            tr.check_search_overflow(True, 0, "ctx")
+
+    def test_warn_policy(self, tmp_path):
+        tr = self._stub_trainer(tmp_path, policy="warn")
+        tr.check_search_overflow(True, 0, "ctx")  # logs, does not raise
+
+
+class TestE2ESingleOptimizer:
+    def test_transition_follows_renderer_boundaries(self, tiny_scene, tmp_path):
+        """seperate_render_transition=False = the reference's single-Adam
+        mode (reference trainer_e2e.py:71-86): both groups keep their base
+        LRs but share the RENDERER piecewise schedule."""
+        from neurofluid_tpu.utils.config import ConfigNode
+        from neurofluid_tpu.train.e2e import E2ETrainer
+
+        cfg = ConfigNode(
+            dict(
+                expdir=str(tmp_path), expname="e2e_single", resume_from="",
+                TRAIN=dict(seed=10, epochs=1, precrop_iters=1, save_interval=10000,
+                           log_interval=1, imgW=24, imgH=24, scale=1.0,
+                           grad_clip_value=0.5, seperate_render_transition=False,
+                           LR=dict(trans_lr=1e-5, renderer_lr=3e-4, use_scheduler=True),
+                           loss_weight=dict(boundary_loss=1.0),
+                           pretrained_renderer="", pretrained_transition_model="",
+                           partial_load=False, search_backend="brute"),
+                TEST=dict(imgW=24, imgH=24, scale=1.0, start_index=0, end_index=4),
+                RENDERER=_tiny_renderer_cfg(),
+                **_scene_cfg(tiny_scene),
+            )
+        )
+        tr = E2ETrainer(cfg)
+        # renderer boundaries (10k/75k/150k), NOT the transition table
+        np.testing.assert_allclose(float(tr.sched_t(10001)), 0.5e-5, rtol=1e-6)
+        np.testing.assert_allclose(float(tr.sched_t(30001)), 0.5e-5, rtol=1e-6)
+        np.testing.assert_allclose(float(tr.sched_t(75001)), 0.25e-5, rtol=1e-6)
+        # grad_clip_value=0.5 + log_interval=1: exercise the clip path and
+        # the before/after grad-norm + neighbor-count histogram logging
+        # (reference trainer_e2e.py:247-253, 268-276)
+        loss = tr.train(n_epochs=1, eval_during_training=False)
+        assert np.isfinite(loss)
+        import json
+        events = [json.loads(l) for l in open(
+            os.path.join(tr.exppath, "metrics.jsonl"))]
+        tags = {e["tag"] for e in events}
+        assert "train/grad_hist_renderer_before" in tags
+        assert "train/grad_hist_transition_after" in tags
+        assert "view_1/num_neighbors_1" in tags
+        # separate mode uses the transition table
+        cfg2 = cfg.clone()
+        cfg2.expname = "e2e_sep"
+        cfg2.TRAIN.seperate_render_transition = True
+        tr2 = E2ETrainer(cfg2)
+        np.testing.assert_allclose(float(tr2.sched_t(30001)), 0.25e-5, rtol=1e-6)
+
+
+class TestConfigValidation:
+    def test_defaults_pass(self):
+        from neurofluid_tpu.utils import config as cfg_mod
+
+        for stage in ("warmup", "transmodel", "end2end"):
+            cfg = cfg_mod.load_config(stage)
+            cfg.merge(cfg_mod.dataset_config()["watercube"])
+            cfg.merge(dict(expdir="exps", expname="x", dataset="watercube",
+                           config="", dataset_config="", resume_from=""))
+            cfg_mod.validate_keys(cfg, stage)  # must not raise
+
+    def test_unknown_key_raises(self):
+        from neurofluid_tpu.utils import config as cfg_mod
+
+        cfg = cfg_mod.load_config("end2end")
+        cfg.RENDERER.encoding["smoothed_po"] = True  # typo
+        with pytest.raises(ValueError, match="smoothed_po"):
+            cfg_mod.validate_keys(cfg, "end2end")
+
+    def test_unknown_nested_section_raises(self):
+        from neurofluid_tpu.utils import config as cfg_mod
+
+        cfg = cfg_mod.load_config("warmup")
+        cfg.merge({"RENDERR": {"use_mask": True}})
+        with pytest.raises(ValueError, match="RENDERR"):
+            cfg_mod.validate_keys(cfg, "warmup")
+
+
 class TestTransitionTrainer:
     def test_one_epoch(self, tiny_scene, tmp_path):
         from neurofluid_tpu.utils.config import ConfigNode
