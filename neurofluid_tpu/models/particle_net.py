@@ -37,19 +37,23 @@ import jax.numpy as jnp
 
 from neurofluid_tpu.ops import cconv as cconv_ops
 from neurofluid_tpu.ops import neighbor_search as ns
+from neurofluid_tpu.ops import segment_ops
 
 
 class ContinuousConvLayer(nn.Module):
-    """Learnable continuous convolution layer (Open3D ContinuousConv analog)."""
+    """Learnable continuous convolution layer (Open3D ContinuousConv analog).
+
+    Consumes precomputed conv geometry (`cconv_ops.cconv_geometry`) so that
+    the position-dependent work — gathers, ball->cube mapping, taps, window —
+    is shared across every layer that convolves over the same NeighborList.
+    """
 
     filters: int
     kernel_size: tuple = (4, 4, 4)
-    use_window: bool = True
-    align_corners: bool = True
     query_chunk: int = 4096
 
     @nn.compact
-    def __call__(self, feats, points, queries, neighbors, extent):
+    def __call__(self, feats, neighbors, corner, tapw, plan=None):
         in_ch = feats.shape[-1]
         kz, ky, kx = self.kernel_size
         # glorot over (receptive taps * in_ch, taps * out_ch) — conv-style fan
@@ -64,17 +68,15 @@ class ContinuousConvLayer(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.filters,), jnp.float32
         )
-        out = cconv_ops.continuous_conv(
+        out = cconv_ops.continuous_conv_apply(
             kernel,
-            points,
+            corner,
+            tapw,
             feats,
-            queries,
             neighbors,
-            extent,
             kernel_size=self.kernel_size,
-            use_window=self.use_window,
-            align_corners=self.align_corners,
             query_chunk=self.query_chunk,
+            plan=plan,
         )
         return out + bias
 
@@ -196,13 +198,28 @@ class ParticleNet(nn.Module):
             pos_new, box, radius, self.obstacle_neighbor_k, exclude_self=False
         )
 
+        # conv geometry (gathers, ball->cube map, taps, window) + the adjoint
+        # sort plans are computed ONCE per neighbor list and shared by all
+        # four conv layers — the reference re-searches and re-maps per layer
+        # (Open3D op, reference models/transmodel.py:116-131)
+        fluid_plan = segment_ops.adjoint_plan(fluid_nbrs.idx, all_pos_new.shape[0])
+        box_plan = segment_ops.adjoint_plan(box_nbrs.idx, box.shape[0])
+        geo_args = dict(kernel_size=self.kernel_size, use_window=True,
+                        align_corners=True)
+        fl_corner, fl_tapw = cconv_ops.cconv_geometry(
+            all_pos_new, pos_new, fluid_nbrs, extent, plan=fluid_plan, **geo_args
+        )
+        bx_corner, bx_tapw = cconv_ops.cconv_geometry(
+            box, pos_new, box_nbrs, extent, plan=box_plan, **geo_args
+        )
+
         conv_args = dict(kernel_size=self.kernel_size, query_chunk=self.query_chunk)
         c0 = self.layer_channels[0]
         ans_fluid = ContinuousConvLayer(c0, name="conv0_fluid", **conv_args)(
-            all_fluid_feats, all_pos_new, pos_new, fluid_nbrs, extent
+            all_fluid_feats, fluid_nbrs, fl_corner, fl_tapw, plan=fluid_plan
         )
         ans_obstacle = ContinuousConvLayer(c0, name="conv0_obstacle", **conv_args)(
-            box_feats, box, pos_new, box_nbrs, extent
+            box_feats, box_nbrs, bx_corner, bx_tapw, plan=box_plan
         )
         ans_dense = nn.Dense(c0, name="dense0_fluid")(fluid_feats)
 
@@ -212,7 +229,7 @@ class ParticleNet(nn.Module):
         for i, ch in enumerate(self.layer_channels[1:], start=1):
             inp = nn.relu(h)
             ans_conv = ContinuousConvLayer(ch, name=f"conv{i}", **conv_args)(
-                gather_full(inp), all_pos_new, pos_new, fluid_nbrs, extent
+                gather_full(inp), fluid_nbrs, fl_corner, fl_tapw, plan=fluid_plan
             )
             ans_d = nn.Dense(ch, name=f"dense{i}")(inp)
             if ch == h.shape[-1]:

@@ -77,6 +77,13 @@ class RenderNet(nn.Module):
     grid_upper: tuple = (1.5, 1.5, 3.0)
     grid_max_per_cell: int = 128
     query_chunk: int = 16384
+    # Cull ray samples outside the particle AABB (+radius) before the search:
+    # they provably have zero neighbors, and NeRF's [near, far] span is much
+    # larger than the fluid, so typically >40% of samples skip the candidate
+    # work entirely. capacity = cull_capacity * n_queries searchable slots;
+    # if more samples than that are inside the AABB the overflow flag fires
+    # (fail-loudly, never wrong results). 0 disables culling.
+    cull_capacity: float = 0.625
 
     @property
     def search_radius(self) -> float:
@@ -134,12 +141,22 @@ class RenderNet(nn.Module):
                 particles, self.grid_lower, self.grid_upper, radius,
                 max_per_cell=self.grid_max_per_cell,
             )
-            result, overflow = ns.radius_search_grid(
-                flat, grid, radius, self.num_neighbors,
-                order="index", inclusive=False,
-                query_chunk=self.query_chunk,
-                selection=self.search_selection,
-            )
+            if self.cull_capacity > 0:
+                capacity = int(-(-flat.shape[0] * self.cull_capacity // 256) * 256)
+                result, overflow = ns.radius_search_grid_culled(
+                    flat, grid, radius, self.num_neighbors,
+                    capacity=capacity,
+                    order="index", inclusive=False,
+                    query_chunk=self.query_chunk,
+                    selection=self.search_selection,
+                )
+            else:
+                result, overflow = ns.radius_search_grid(
+                    flat, grid, radius, self.num_neighbors,
+                    order="index", inclusive=False,
+                    query_chunk=self.query_chunk,
+                    selection=self.search_selection,
+                )
             return result, overflow
         result = ns.radius_search_brute(
             flat, particles, radius, self.num_neighbors,

@@ -146,31 +146,65 @@ def trilinear_taps(cube_xyz: jax.Array, kernel_size: tuple, align_corners: bool 
     return jnp.stack(corners, axis=-1), jnp.stack(weights, axis=-1)
 
 
-def _cconv_chunk(
-    chunk,
-    filters: jax.Array,
-    kernel_size: tuple,
-    num_taps: int,
-    use_window: bool,
-    align_corners: bool,
+def cconv_geometry(
+    points: jax.Array,
+    queries: jax.Array,
+    neighbors: NeighborList,
+    extent: float,
+    kernel_size: tuple = (4, 4, 4),
+    use_window: bool = True,
+    align_corners: bool = True,
+    plan=None,
 ):
-    """One query chunk: offsets (C,K,3) unit-ball coords, feats (C,K,Cin),
-    norm_sq (C,K), mask (C,K) -> out (C, Cout)."""
-    offsets, feats_nb, norm_sq, mask = chunk
+    """Shared per-neighborhood conv geometry: everything that depends on
+    POSITIONS but not on features or filters.
+
+    A ParticleNet step runs 4 conv layers over the SAME fluid neighbor list
+    (reference models/transmodel.py:116-131) — the reference's Open3D op
+    redundantly re-searches and re-maps per layer on the GPU; here the
+    ball->cube mapping, trilinear taps, and window are computed once and the
+    position-gradient chain is shared by all layers' backward passes.
+
+    Returns (corner (Q, K, 8) int32 flat tap ids [discrete, non-diff],
+             tapw (Q, K, 8) float tap weights [diff w.r.t. positions],
+             masked window already folded in).
+    `plan` is an optional segment_ops.AdjointPlan for the shared backward
+    sort of the position gather.
+    """
+    radius = extent / 2.0
+    safe_idx = jnp.maximum(neighbors.idx, 0)
+    if plan is not None:
+        nb = segment_ops.take_columns3_planned(
+            points, safe_idx, plan.order, plan.starts
+        )
+    else:
+        nb = segment_ops.take_columns3(points, safe_idx)
+    off = [
+        jnp.where(neighbors.mask, (nb[ax] - queries[:, ax, None]) / radius, 0.0)
+        for ax in range(3)
+    ]
+    norm_sq = off[0] ** 2 + off[1] ** 2 + off[2] ** 2
+    offsets = jnp.stack(off, axis=-1)
     cube = ball_to_cube_volume_preserving(offsets)
     corner, w8 = trilinear_taps(cube, kernel_size, align_corners)
     if use_window:
         w = window_poly6(norm_sq)
     else:
         w = jnp.ones_like(norm_sq)
-    w = jnp.where(mask, w, 0.0)
+    w = jnp.where(neighbors.mask, w, 0.0)
+    return corner, w8 * w[..., None]
 
+
+def _cconv_apply_chunk(chunk, filters: jax.Array, num_taps: int):
+    """One query chunk: corner (C,K,8), tapw (C,K,8), feats (C,K,Cin)
+    -> out (C, Cout)."""
+    corner, tapw, feats_nb = chunk
     onehot = jax.nn.one_hot(corner, num_taps, dtype=feats_nb.dtype)  # (C,K,8,T)
     # precision=HIGHEST keeps the contraction inputs in full f32: the default
     # (bf16 operands on the MXU) loses ~1e-3 on the physics features, which is
     # too coarse for the position-gradient path the simulator depends on.
     tw = jnp.einsum(
-        "qkj,qkjt->qkt", w8 * w[..., None], onehot,
+        "qkj,qkjt->qkt", tapw, onehot,
         precision=jax.lax.Precision.HIGHEST,
     )  # (C,K,T)
     basis = jnp.einsum(
@@ -185,6 +219,55 @@ def _cconv_chunk(
         preferred_element_type=jnp.result_type(basis.dtype, jnp.float32),
     )
     return out
+
+
+def continuous_conv_apply(
+    filters: jax.Array,
+    corner: jax.Array,
+    tapw: jax.Array,
+    feats: jax.Array,
+    neighbors: NeighborList,
+    kernel_size: tuple = (4, 4, 4),
+    query_chunk: int = 4096,
+    plan=None,
+) -> jax.Array:
+    """Contract per-layer features against precomputed conv geometry.
+
+    filters (kz, ky, kx, Cin, Cout); corner/tapw from `cconv_geometry`;
+    feats (N, Cin) input features gathered at neighbors.idx.
+    """
+    kz, ky, kx = kernel_size
+    num_taps = kz * ky * kx
+    cin, cout = filters.shape[-2], filters.shape[-1]
+    filters_flat = filters.reshape(num_taps, cin, cout)
+
+    safe_idx = jnp.maximum(neighbors.idx, 0)
+    if plan is not None:
+        gathered = segment_ops.take_rows_planned(
+            feats, safe_idx, plan.order, plan.starts
+        )
+    else:
+        gathered = segment_ops.take_rows(feats, safe_idx)
+    nb_feats = jnp.where(neighbors.mask[..., None], gathered, 0.0)
+
+    q = corner.shape[0]
+    chunk = min(query_chunk, max(q, 1))
+    n_chunks = max(1, -(-q // chunk))
+    pad = n_chunks * chunk - q
+
+    fn = functools.partial(
+        _cconv_apply_chunk, filters=filters_flat, num_taps=num_taps
+    )
+    if n_chunks == 1:
+        return fn((corner, tapw, nb_feats))
+
+    def pad_r(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)).reshape(
+            (n_chunks, chunk) + x.shape[1:]
+        )
+
+    chunks = (pad_r(corner), pad_r(tapw), pad_r(nb_feats))
+    return jax.lax.map(fn, chunks).reshape(-1, cout)[:q]
 
 
 def continuous_conv(
@@ -209,53 +292,15 @@ def continuous_conv(
     extent: full filter extent (Open3D convention; radius = extent / 2).
 
     Returns (Q, C_out). Matches Open3D ContinuousConv with normalize=False.
+    (Single-shot convenience wrapper; multi-layer consumers should compute
+    `cconv_geometry` once and call `continuous_conv_apply` per layer.)
     """
-    kz, ky, kx = kernel_size
-    num_taps = kz * ky * kx
-    cin, cout = filters.shape[-2], filters.shape[-1]
-    filters_flat = filters.reshape(num_taps, cin, cout)
-    radius = extent / 2.0
-
-    safe_idx = jnp.maximum(neighbors.idx, 0)
-    # take_rows: gather with a sort-based (scatter-free) adjoint — the
-    # backward into particle positions/features would otherwise be an XLA
-    # scatter, which serializes on TPU (see ops/segment_ops.py)
-    nb_pos = segment_ops.take_rows(points, safe_idx)  # (Q, K, 3)
-    nb_feats = jnp.where(
-        neighbors.mask[..., None], segment_ops.take_rows(feats, safe_idx), 0.0
-    )
-    offsets = (nb_pos - queries[:, None, :]) / radius
-    offsets = jnp.where(neighbors.mask[..., None], offsets, 0.0)
-    norm_sq = neighbors.sq_dists / (radius * radius)
-
-    q = queries.shape[0]
-    chunk = min(query_chunk, max(q, 1))
-    n_chunks = max(1, -(-q // chunk))
-    pad = n_chunks * chunk - q
-
-    fn = functools.partial(
-        _cconv_chunk,
-        filters=filters_flat,
-        kernel_size=kernel_size,
-        num_taps=num_taps,
-        use_window=use_window,
+    corner, tapw = cconv_geometry(
+        points, queries, neighbors, extent,
+        kernel_size=kernel_size, use_window=use_window,
         align_corners=align_corners,
     )
-    if n_chunks == 1:
-        out = fn((offsets, nb_feats, norm_sq, neighbors.mask))
-    else:
-        k = neighbors.idx.shape[1]
-
-        def pad_r(x, extra_dims):
-            return jnp.pad(x, ((0, pad),) + ((0, 0),) * extra_dims).reshape(
-                (n_chunks, chunk) + x.shape[1:]
-            )
-
-        chunks = (
-            pad_r(offsets, 2),
-            pad_r(nb_feats, 2),
-            pad_r(norm_sq, 1),
-            pad_r(neighbors.mask, 1),
-        )
-        out = jax.lax.map(fn, chunks).reshape(-1, cout)[:q]
-    return out
+    return continuous_conv_apply(
+        filters, corner, tapw, feats, neighbors,
+        kernel_size=kernel_size, query_chunk=query_chunk,
+    )

@@ -425,6 +425,70 @@ def radius_search_grid(
     return NeighborList(idx, sq, mask, count), grid.overflow
 
 
+def radius_search_grid_culled(
+    queries: jax.Array,
+    grid: CellGrid,
+    radius: float,
+    k: int,
+    capacity: int,
+    order: str = "nearest",
+    inclusive: bool = True,
+    exclude_self: bool = False,
+    query_chunk: int = 4096,
+    selection: str = "sort",
+) -> tuple[NeighborList, jax.Array]:
+    """Grid search that skips provably-empty queries (outside the particle
+    AABB inflated by `radius`).
+
+    NeRF rays sample the full [near, far] interval (reference
+    utils/ray_utils.py:232-256) but the fluid occupies a fraction of it, so
+    a large share of ray samples cannot have any neighbor. Those are culled
+    BEFORE the candidate/top-k work: queries are stably partitioned
+    (inside-AABB first), only the first `capacity` slots are searched, and
+    results are scattered back; culled queries get the exact empty result
+    (count 0, idx -1, sq 0) they would have computed. Math-identical to the
+    uncolled search whenever n_inside <= capacity; otherwise the overflow
+    flag is raised (fail-loudly policy — never silent truncation).
+
+    Returns (NeighborList, overflow_flag) like `radius_search_grid`.
+    """
+    q = queries.shape[0]
+    capacity = int(min(max(capacity, 1), q))
+    queries_ng = jax.lax.stop_gradient(queries)
+    points_ng = jax.lax.stop_gradient(grid.points_original)
+
+    lo = points_ng.min(axis=0) - radius
+    hi = points_ng.max(axis=0) + radius
+    inside = jnp.all((queries_ng >= lo) & (queries_ng <= hi), axis=-1)  # (Q,)
+    n_inside = jnp.sum(inside.astype(jnp.int32))
+    cull_overflow = n_inside > capacity
+
+    # stable partition: inside-queries first (f32 keys — int/bool sorts take
+    # a much slower TPU path)
+    part = jnp.argsort(jnp.where(inside, 0.0, 1.0)).astype(jnp.int32)
+    sel = part[:capacity]
+    compact = queries_ng[sel]
+
+    result, grid_overflow = radius_search_grid(
+        compact, grid, radius, k,
+        order=order, inclusive=inclusive, exclude_self=exclude_self,
+        query_chunk=query_chunk, selection=selection,
+    )
+
+    # scatter back by inverse permutation (gather formulation; f32 argsort)
+    rank = jnp.argsort(part.astype(jnp.float32)).astype(jnp.int32)  # (Q,)
+    in_compact = (rank < capacity) & inside
+    safe_rank = jnp.minimum(rank, capacity - 1)
+    idx = jnp.where(in_compact[:, None], result.idx[safe_rank], -1)
+    mask = jnp.where(in_compact[:, None], result.mask[safe_rank], False)
+    count = jnp.where(in_compact, result.count[safe_rank], 0)
+    sq = _recompute_sq_dists(queries, grid.points_original, idx, mask)
+    return (
+        NeighborList(idx, sq, mask, count),
+        jnp.logical_or(grid_overflow, cull_overflow),
+    )
+
+
 def radius_search(
     queries: jax.Array,
     points: jax.Array,

@@ -48,6 +48,117 @@ def _composite_kernel(z_ref, dnorm_ref, sigma_ref, tri_ref, w_ref):
     w_ref[:] = alphas * jnp.exp(log_t)
 
 
+def _composite_bwd_kernel(z_ref, dnorm_ref, sigma_ref, g_ref, tri_ref, ds_ref):
+    """Analytic d(weights)/d(sigmas) for the fused compositing chain.
+
+    With surv_i = exp(-delta_i * relu(sigma_i)), T_i = prod_{j<i}(surv_j + eps)
+    and w_i = (1 - surv_i) * T_i:
+        dL/dsigma_i = delta_i * surv_i * 1[sigma_i > 0]
+                      * ( g_i * T_i  -  (sum_{k>i} g_k w_k) / (surv_i + eps) )
+    The exclusive suffix sum is the SAME strictly-triangular matmul as the
+    forward's exclusive cumsum, contracted from the other side (MXU again).
+    """
+    z = z_ref[:]
+    sigmas = sigma_ref[:]
+    dnorm = dnorm_ref[:]
+    g = g_ref[:]
+    tri = tri_ref[:]  # tri[j, i] = 1 iff j < i
+
+    deltas = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=1
+    )
+    deltas = deltas * dnorm
+    surv = jnp.exp(-deltas * jnp.maximum(sigmas, 0.0))
+    log_surv = jnp.log(surv + 1e-10)
+    log_t = jax.lax.dot_general(
+        log_surv, tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    t = jnp.exp(log_t)
+    w = (1.0 - surv) * t
+    gw = g * w
+    # suffix[i] = sum_{k>i} gw[k]  ==  contract gw with tri on tri's SECOND
+    # axis: (gw @ tri^T)[b, i] = sum_k gw[b, k] tri[i, k] = sum_{k>i} gw[b, k]
+    suffix = jax.lax.dot_general(
+        gw, tri,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds_ref[:] = jnp.where(
+        sigmas > 0.0,
+        deltas * surv * (g * t - suffix / (surv + 1e-10)),
+        0.0,
+    )
+
+
+def _pallas_block_call(kernel, arrays_ns, tri, n, s, block_rays, interpret):
+    """Shared launch helper: pad N to a block multiple, grid over ray blocks,
+    (s, s) triangular matrix broadcast to every block."""
+    block = min(block_rays, n)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    if pad:
+        arrays_ns = [jnp.pad(a, ((0, pad), (0, 0))) for a in arrays_ns]
+    specs = [
+        pl.BlockSpec((block, a.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for a in arrays_ns
+    ]
+    specs.append(pl.BlockSpec((s, s), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((block, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * block, s), jnp.float32),
+        interpret=interpret,
+    )(*arrays_ns, tri)
+    return out[:n]
+
+
+def _tri_strict(s):
+    """tri[j, i] = 1 iff j < i (columns accumulate everything strictly before)."""
+    return jnp.tril(jnp.ones((s, s), jnp.float32), k=-1).T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def composite_weights(sigmas, z_vals, dnorm, block_rays=256, interpret=False):
+    """Volume-rendering weights with fused Pallas forward AND backward.
+
+    sigmas, z_vals: (N, S); dnorm: (N, 1) = ||ray_d||. Numerically matches
+    ray_ops.composite's weights (noise folded into sigmas by the caller).
+
+    Differentiable w.r.t. `sigmas` only: z_vals/dnorm receive zero cotangents.
+    That is exact for the NeuroFluid pipeline, where sample z values are
+    leaves or explicitly stop_gradient'ed (reference utils/ray_utils.py:222-229
+    detaches importance samples; coarse z is a linspace of near/far) and ray
+    geometry is data, never parameters.
+    """
+    n, s = sigmas.shape
+    return _pallas_block_call(
+        _composite_kernel, [z_vals, dnorm, sigmas], _tri_strict(s),
+        n, s, block_rays, interpret,
+    )
+
+
+def _composite_weights_fwd(sigmas, z_vals, dnorm, block_rays, interpret):
+    w = composite_weights(sigmas, z_vals, dnorm, block_rays, interpret)
+    return w, (sigmas, z_vals, dnorm)
+
+
+def _composite_weights_bwd(block_rays, interpret, res, g):
+    sigmas, z_vals, dnorm = res
+    n, s = sigmas.shape
+    d_sigmas = _pallas_block_call(
+        _composite_bwd_kernel, [z_vals, dnorm, sigmas, g], _tri_strict(s),
+        n, s, block_rays, interpret,
+    )
+    return d_sigmas, jnp.zeros_like(z_vals), jnp.zeros_like(dnorm)
+
+
+composite_weights.defvjp(_composite_weights_fwd, _composite_weights_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rays", "interpret"))
 def composite_weights_pallas(
     sigmas: jax.Array,

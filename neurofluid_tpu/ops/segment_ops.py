@@ -15,6 +15,7 @@ reduction instead of XLA scatter.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,94 @@ def _take_rows_bwd(res, g):
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+class AdjointPlan(NamedTuple):
+    """Precomputed sort plan for the scatter-free gather adjoint.
+
+    The argsort of the segment ids dominates the backward cost of every
+    neighbor gather. All gathers from the SAME NeighborList share the same
+    ids, so the plan (sorted order + segment starts) is computed ONCE in the
+    forward pass (under stop_gradient) and reused by every adjoint — e.g.
+    the transition model's 4 conv layers used to pay 5 backward sorts per
+    step for one fluid neighbor list.
+
+    order:  (M,) int32 — argsort of the (flattened, sanitized) segment ids.
+    starts: (num_segments + 1,) int32 — per-segment start offsets.
+    n:      number of segments (table rows).
+    """
+
+    order: jax.Array
+    starts: jax.Array
+    n: int
+
+
+def adjoint_plan(idx: jax.Array, n: int) -> AdjointPlan:
+    """Build the shared backward-sort plan for gathers at `idx` into an
+    (n, ...) table. Invalid ids (< 0 or >= n) land in a trash segment."""
+    ids = jax.lax.stop_gradient(idx).reshape(-1).astype(jnp.int32)
+    valid = (ids >= 0) & (ids < n)
+    ids = jnp.where(valid, ids, n)
+    order = jnp.argsort(ids).astype(jnp.int32)
+    ids_sorted = ids[order]
+    starts = jnp.searchsorted(
+        ids_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return AdjointPlan(order, starts, n)
+
+
+def _segment_sum_planned(flat_vals: jax.Array, order, starts) -> jax.Array:
+    """(M, C) cotangents -> (n, C) sums using a precomputed plan (no sort)."""
+    vals_sorted = flat_vals[order].astype(jnp.float32)
+    csum = jnp.cumsum(vals_sorted, axis=0)
+    csum = jnp.concatenate(
+        [jnp.zeros((1,) + csum.shape[1:], csum.dtype), csum], axis=0
+    )
+    out = csum[starts[1:]] - csum[starts[:-1]]
+    return out.astype(flat_vals.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_rows_planned(table: jax.Array, idx: jax.Array, order, starts):
+    """`take_rows` whose adjoint reuses a shared AdjointPlan's (order, starts)
+    — no re-sort in the backward.
+
+    idx MUST be indices the plan was built from (adjoint_plan routed
+    out-of-range ids to the trash segment at build time)."""
+    return table[idx]
+
+
+def _take_rows_planned_fwd(table, idx, order, starts):
+    return table[idx], (idx, order, starts)
+
+
+def _take_rows_planned_bwd(res, g):
+    idx, order, starts = res
+    d_table = _segment_sum_planned(g.reshape(-1, g.shape[-1]), order, starts)
+    return d_table, None, None, None
+
+
+take_rows_planned.defvjp(_take_rows_planned_fwd, _take_rows_planned_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_columns3_planned(table: jax.Array, idx: jax.Array, order, starts):
+    """`take_columns3` with a shared AdjointPlan adjoint (no re-sort)."""
+    return tuple(table[..., ax][idx] for ax in range(3))
+
+
+def _take_columns3_planned_fwd(table, idx, order, starts):
+    return take_columns3_planned(table, idx, order, starts), (idx, order, starts)
+
+
+def _take_columns3_planned_bwd(res, g):
+    idx, order, starts = res
+    cots = jnp.stack([gi.reshape(-1) for gi in g], axis=-1)  # (M, 3)
+    d_table = _segment_sum_planned(cots, order, starts)
+    return d_table, None, None, None
+
+
+take_columns3_planned.defvjp(_take_columns3_planned_fwd, _take_columns3_planned_bwd)
 
 
 def segment_sum_sorted_multi(values: list, segment_ids: jax.Array, num_segments: int):

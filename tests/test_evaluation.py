@@ -46,8 +46,9 @@ class TestImageMetrics:
         assert metrics.ssim(img, img) == pytest.approx(1.0, abs=1e-6)
         assert metrics.ssim(img, rng.uniform(size=(32, 32, 3))) < 0.5
 
-    def test_lpips_gated(self, rng):
-        with pytest.raises(NotImplementedError):
+    def test_lpips_gated(self, rng, monkeypatch):
+        monkeypatch.delenv("NF_LPIPS_WEIGHTS", raising=False)
+        with pytest.raises(FileNotFoundError):
             metrics.lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
 
 

@@ -151,3 +151,37 @@ def test_grid_points_outside_box_still_found(rng):
     res, _ = ns.radius_search_grid(jnp.asarray(queries), grid, 0.3, 4, order="nearest")
     found = set(np.asarray(res.idx[0]).tolist()) - {-1}
     assert found == {0, 1}
+
+
+def test_grid_culled_matches_uncull(rng):
+    """AABB culling must be math-identical when capacity suffices."""
+    points = rng.uniform(-0.4, 0.4, size=(300, 3)).astype(np.float32)
+    # queries along a "ray": many outside the particle AABB
+    t = np.linspace(-3, 3, 128, dtype=np.float32)
+    queries = np.stack([t, np.zeros_like(t), np.zeros_like(t)], -1)
+    grid = ns.build_cell_grid(jnp.asarray(points), (-1, -1, -1), (1, 1, 1), 0.225)
+    ref, ov_ref = ns.radius_search_grid(
+        jnp.asarray(queries), grid, 0.225, 8, order="index", inclusive=False
+    )
+    got, ov = ns.radius_search_grid_culled(
+        jnp.asarray(queries), grid, 0.225, 8, capacity=64,
+        order="index", inclusive=False,
+    )
+    assert not bool(ov)
+    np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+    np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(ref.mask))
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+    np.testing.assert_allclose(
+        np.asarray(got.sq_dists), np.asarray(ref.sq_dists), atol=1e-6
+    )
+
+
+def test_grid_culled_overflow_when_capacity_too_small(rng):
+    points = rng.uniform(-0.4, 0.4, size=(200, 3)).astype(np.float32)
+    queries = rng.uniform(-0.3, 0.3, size=(64, 3)).astype(np.float32)  # all inside
+    grid = ns.build_cell_grid(jnp.asarray(points), (-1, -1, -1), (1, 1, 1), 0.225)
+    _, ov = ns.radius_search_grid_culled(
+        jnp.asarray(queries), grid, 0.225, 8, capacity=16,
+        order="index", inclusive=False,
+    )
+    assert bool(ov)
