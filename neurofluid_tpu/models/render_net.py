@@ -188,12 +188,20 @@ class RenderNet(nn.Module):
         # (42x HBM). Gathered coordinates are zeroed at padded slots, which
         # reproduces pytorch3d's masked_gather origin-padding artifact that
         # the reference smoothing weights inherit (renderer.py:63-77, 96-109).
-        # ONE take_columns3 (shared backward sort) feeds the smoothing
-        # distances, the variance feature, AND the pytorch3d-convention
-        # squared distances (nbrs.sq_dists is deliberately unused so its
-        # separate recomputation dead-codes away).
+        # ONE shared backward plan feeds the smoothing distances, the
+        # variance feature, AND the pytorch3d-convention squared distances
+        # (nbrs.sq_dists is deliberately unused so its separate recomputation
+        # dead-codes away). When the search emitted the selected coordinates
+        # (NeighborList.xyz) the forward gather is free
+        # (segment_ops.gather3_values); otherwise fall back to the gather.
         safe_idx = jnp.maximum(nbrs.idx, 0)
-        nb_raw = segment_ops.take_columns3(particles, safe_idx)
+        if nbrs.xyz is not None:
+            plan = segment_ops.adjoint_plan(safe_idx, particles.shape[0])
+            nb_raw = segment_ops.gather3_values(
+                particles, safe_idx, *nbrs.xyz, plan.order, plan.starts
+            )
+        else:
+            nb_raw = segment_ops.take_columns3(particles, safe_idx)
         nb = [jnp.where(nbrs.mask, nb_raw[ax], 0.0) for ax in range(3)]
         # reference nn_mask = ball-query dists != 0 (renderer.py:137):
         # valid slots with nonzero distance

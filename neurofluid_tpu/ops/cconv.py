@@ -173,7 +173,13 @@ def cconv_geometry(
     """
     radius = extent / 2.0
     safe_idx = jnp.maximum(neighbors.idx, 0)
-    if plan is not None:
+    if neighbors.xyz is not None and plan is not None:
+        # selected coordinates came free from the search; only the backward
+        # (plan-based segment-sum into points) remains
+        nb = segment_ops.gather3_values(
+            points, safe_idx, *neighbors.xyz, plan.order, plan.starts
+        )
+    elif plan is not None:
         nb = segment_ops.take_columns3_planned(
             points, safe_idx, plan.order, plan.starts
         )

@@ -52,12 +52,21 @@ class NeighborList(NamedTuple):
     count:    (Q,)   int32 TRUE number of in-radius neighbors (may exceed K);
               this feeds `num_fluid_neighbors` in the transition-model loss
               (reference models/transmodel.py:133-138).
+    xyz:      optional tuple of 3 (Q, K) arrays — the selected neighbors'
+              coordinates as STOP-GRADIENT values, emitted by the search for
+              free (candidates are already resident during selection).
+              Consumers wrap them in `segment_ops.gather3_values` to make
+              them differentiable w.r.t. the point table without paying a
+              forward gather (scalar gathers from (N,) columns run ~140M
+              elem/s on TPU and dominated the round-1 step). Arbitrary
+              finite values at masked slots.
     """
 
     idx: jax.Array
     sq_dists: jax.Array
     mask: jax.Array
     count: jax.Array
+    xyz: tuple | None = None
 
 
 def gather_neighbor_positions(points: jax.Array, neighbors: NeighborList) -> jax.Array:
@@ -87,11 +96,14 @@ def _select_from_candidates(
     k: int,
     order: str,
     selection: str = "sort",
+    cand_xyz: tuple | None = None,
 ):
     """Select up to k in-radius candidates per query row.
 
     d2, within: (C, M); cand_idx: (C, M) global point ids (or -1 for invalid).
-    Returns idx (C,k) int32 (-1 pad), sq (C,k) (0 pad), mask (C,k).
+    Returns idx (C,k) int32 (-1 pad), sq (C,k) (0 pad), mask (C,k), and —
+    when `cand_xyz` (3 arrays (C, M)) is given — the selected coordinates as
+    3 (C, k) arrays (arbitrary finite values at invalid slots).
 
     selection='sort' is exact (lax.top_k, which lowers to a full variadic
     sort over M on TPU — the dominant cost of large searches).
@@ -107,6 +119,8 @@ def _select_from_candidates(
         d2 = jnp.pad(d2, ((0, 0), (0, pad)))
         within = jnp.pad(within, ((0, 0), (0, pad)))
         cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)), constant_values=_INT32_MAX - 1)
+        if cand_xyz is not None:
+            cand_xyz = tuple(jnp.pad(c, ((0, 0), (0, pad))) for c in cand_xyz)
 
     if order == "index":
         # first-K by (global) point index: top-k of negated index. Scores are
@@ -130,7 +144,10 @@ def _select_from_candidates(
         idx = jnp.where(valid, jnp.take_along_axis(cand_idx, pos, axis=-1), -1)
     sq = jnp.take_along_axis(d2, pos, axis=-1)
     sq = jnp.where(valid, sq, 0.0)
-    return idx.astype(jnp.int32), sq, valid
+    sel_xyz = None
+    if cand_xyz is not None:
+        sel_xyz = tuple(jnp.take_along_axis(c, pos, axis=-1) for c in cand_xyz)
+    return idx.astype(jnp.int32), sq, valid, sel_xyz
 
 
 def _brute_chunk(
@@ -163,11 +180,16 @@ def _brute_chunk(
     cand_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[None, :], d2.shape
     )
-    idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order, selection)
-    return idx, sq, mask, count
+    cand_xyz = tuple(
+        jnp.broadcast_to(points[None, :, ax], d2.shape) for ax in range(3)
+    )
+    idx, sq, mask, sel_xyz = _select_from_candidates(
+        d2, cand_idx, within, k, order, selection, cand_xyz=cand_xyz
+    )
+    return idx, sq, mask, count, sel_xyz
 
 
-def _recompute_sq_dists(queries, points, idx, mask):
+def _recompute_sq_dists(queries, points, idx, mask, xyz=None):
     """Differentiable squared distances of the selected pairs.
 
     The search itself runs under stop_gradient (its giant Q x candidates
@@ -175,13 +197,22 @@ def _recompute_sq_dists(queries, points, idx, mask):
     positions flow through THIS recomputation instead — identical values,
     identical gradients, tiny memory. Padding stays exactly 0 (pytorch3d
     convention the renderer's masks depend on).
+
+    With `xyz` (the search's selected coordinates), the forward gather is
+    skipped entirely (segment_ops.gather3_values).
     """
     from neurofluid_tpu.ops import segment_ops
 
     safe = jnp.maximum(idx, 0)
-    # coordinate-wise (Q, K) intermediates (TPU lane padding); one shared
-    # backward sort for all three coordinates
-    nb = segment_ops.take_columns3(points, safe)
+    if xyz is not None:
+        plan = segment_ops.adjoint_plan(safe, points.shape[0])
+        nb = segment_ops.gather3_values(
+            points, safe, *xyz, plan.order, plan.starts
+        )
+    else:
+        # coordinate-wise (Q, K) intermediates (TPU lane padding); one shared
+        # backward sort for all three coordinates
+        nb = segment_ops.take_columns3(points, safe)
     sq = jnp.zeros(idx.shape, queries.dtype)
     for ax in range(3):
         diff = nb[ax] - queries[:, ax, None]
@@ -222,16 +253,18 @@ def radius_search_brute(
         selection=selection,
     )
     if chunks.shape[0] == 1:
-        idx, _sq, mask, count = fn(chunks[0])
+        idx, _sq, mask, count, xyz = fn(chunks[0])
     else:
-        idx, _sq, mask, count = jax.lax.map(fn, chunks)
+        idx, _sq, mask, count, xyz = jax.lax.map(fn, chunks)
         idx = idx.reshape(-1, k)
         mask = mask.reshape(-1, k)
         count = count.reshape(-1)
+        xyz = tuple(c.reshape(-1, k) for c in xyz)
     if pad:
         idx, mask, count = idx[:q], mask[:q], count[:q]
-    sq = _recompute_sq_dists(queries, points, idx, mask)
-    return NeighborList(idx, sq, mask, count)
+        xyz = tuple(c[:q] for c in xyz)
+    sq = _recompute_sq_dists(queries, points, idx, mask, xyz=xyz)
+    return NeighborList(idx, sq, mask, count, xyz)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +329,8 @@ def build_cell_grid(
         jnp.asarray(dims, jnp.int32) - 1,
     )
     cell_id = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
-    order = jnp.argsort(cell_id).astype(jnp.int32)
+    # f32 sort keys (fast TPU sort path); cell ids < 2^24 are exact in f32
+    order = jnp.argsort(cell_id.astype(jnp.float32)).astype(jnp.int32)
     sorted_cell_id = cell_id[order]
     num_cells = dims[0] * dims[1] * dims[2]
     starts = jnp.searchsorted(
@@ -363,10 +397,12 @@ def _grid_chunk(
     # row gathers (width = cap) — the TPU-fast path
     cand_idx = grid.table_idx[ncell_id].reshape(C, m_total)
     d2 = jnp.zeros((C, m_total), q_chunk.dtype)
+    cand_xyz = []
     for ax, table in ((0, grid.table_x), (1, grid.table_y), (2, grid.table_z)):
         coord = table[ncell_id].reshape(C, m_total)
         diff = coord - q_chunk[:, ax, None]
         d2 = d2 + diff * diff
+        cand_xyz.append(coord)
 
     slot_valid = cand_idx >= 0
     r2 = jnp.asarray(radius, d2.dtype) ** 2
@@ -374,8 +410,10 @@ def _grid_chunk(
     if exclude_self:
         within = within & (d2 > 0.0)
     count = jnp.sum(within, axis=-1).astype(jnp.int32)
-    idx, sq, mask = _select_from_candidates(d2, cand_idx, within, k, order, selection)
-    return idx, sq, mask, count
+    idx, sq, mask, sel_xyz = _select_from_candidates(
+        d2, cand_idx, within, k, order, selection, cand_xyz=tuple(cand_xyz)
+    )
+    return idx, sq, mask, count, sel_xyz
 
 
 def radius_search_grid(
@@ -412,17 +450,19 @@ def radius_search_grid(
         selection=selection,
     )
     if chunks.shape[0] == 1:
-        idx, _sq, mask, count = fn(chunks[0])
+        idx, _sq, mask, count, xyz = fn(chunks[0])
     else:
-        idx, _sq, mask, count = jax.lax.map(fn, chunks)
+        idx, _sq, mask, count, xyz = jax.lax.map(fn, chunks)
         idx = idx.reshape(-1, k)
         mask = mask.reshape(-1, k)
         count = count.reshape(-1)
+        xyz = tuple(c.reshape(-1, k) for c in xyz)
     if pad:
         idx, mask, count = idx[:q], mask[:q], count[:q]
+        xyz = tuple(c[:q] for c in xyz)
     # idx refers to ORIGINAL point order (table_idx stores original ids)
-    sq = _recompute_sq_dists(queries, grid.points_original, idx, mask)
-    return NeighborList(idx, sq, mask, count), grid.overflow
+    sq = _recompute_sq_dists(queries, grid.points_original, idx, mask, xyz=xyz)
+    return NeighborList(idx, sq, mask, count, xyz), grid.overflow
 
 
 def radius_search_grid_culled(
@@ -482,9 +522,12 @@ def radius_search_grid_culled(
     idx = jnp.where(in_compact[:, None], result.idx[safe_rank], -1)
     mask = jnp.where(in_compact[:, None], result.mask[safe_rank], False)
     count = jnp.where(in_compact, result.count[safe_rank], 0)
-    sq = _recompute_sq_dists(queries, grid.points_original, idx, mask)
+    xyz = tuple(
+        jnp.where(in_compact[:, None], c[safe_rank], 0.0) for c in result.xyz
+    )
+    sq = _recompute_sq_dists(queries, grid.points_original, idx, mask, xyz=xyz)
     return (
-        NeighborList(idx, sq, mask, count),
+        NeighborList(idx, sq, mask, count, xyz),
         jnp.logical_or(grid_overflow, cull_overflow),
     )
 

@@ -38,7 +38,9 @@ def segment_sum_sorted(values: jax.Array, segment_ids: jax.Array, num_segments: 
     ids = jnp.where(valid, ids, num_segments)
     values = jnp.where(valid[:, None], values, 0.0)
 
-    order = jnp.argsort(ids)
+    # f32 sort keys: int32 sorts take a ~30x slower TPU path; ids < 2^24
+    # are exact in f32
+    order = jnp.argsort(ids.astype(jnp.float32))
     ids_sorted = ids[order]
     vals_sorted = values[order]
 
@@ -103,7 +105,7 @@ def adjoint_plan(idx: jax.Array, n: int) -> AdjointPlan:
     ids = jax.lax.stop_gradient(idx).reshape(-1).astype(jnp.int32)
     valid = (ids >= 0) & (ids < n)
     ids = jnp.where(valid, ids, n)
-    order = jnp.argsort(ids).astype(jnp.int32)
+    order = jnp.argsort(ids.astype(jnp.float32)).astype(jnp.int32)  # f32 keys
     ids_sorted = ids[order]
     starts = jnp.searchsorted(
         ids_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left"
@@ -165,6 +167,41 @@ def _take_columns3_planned_bwd(res, g):
 take_columns3_planned.defvjp(_take_columns3_planned_fwd, _take_columns3_planned_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def gather3_values(table, idx, vx, vy, vz, order, starts):
+    """Differentiable alias of (table[:, 0][idx], table[:, 1][idx],
+    table[:, 2][idx]) whose FORWARD is free.
+
+    The neighbor search already holds the selected candidates' coordinates
+    when it picks them (NeighborList.xyz), so re-gathering them from the
+    point table is pure waste — and a (N,) scalar gather is one of the
+    slowest ops on TPU (~140M elem/s). This op returns the precomputed
+    values verbatim and defines the backward as the plan-based segment-sum
+    of the cotangents into `table` — mathematically identical to
+    differentiating the gather, with zero forward cost.
+
+    Caller contract: (vx, vy, vz) == table[idx].T at every slot whose
+    cotangent can be nonzero (masked slots may hold arbitrary finite values),
+    and (order, starts) is the AdjointPlan of `idx` into `table`.
+    """
+    del table, idx, order, starts
+    return vx, vy, vz
+
+
+def _gather3_values_fwd(table, idx, vx, vy, vz, order, starts):
+    return (vx, vy, vz), (order, starts)
+
+
+def _gather3_values_bwd(res, g):
+    order, starts = res
+    cots = jnp.stack([gi.reshape(-1) for gi in g], axis=-1)  # (M, 3)
+    d_table = _segment_sum_planned(cots, order, starts)
+    return d_table, None, None, None, None, None, None
+
+
+gather3_values.defvjp(_gather3_values_fwd, _gather3_values_bwd)
+
+
 def segment_sum_sorted_multi(values: list, segment_ids: jax.Array, num_segments: int):
     """Segment-sum several same-shaped (M,) value arrays with ONE shared sort.
 
@@ -174,7 +211,7 @@ def segment_sum_sorted_multi(values: list, segment_ids: jax.Array, num_segments:
     ids = segment_ids.astype(jnp.int32)
     valid = (ids >= 0) & (ids < num_segments)
     ids = jnp.where(valid, ids, num_segments)
-    order = jnp.argsort(ids)
+    order = jnp.argsort(ids.astype(jnp.float32))  # f32 keys: fast TPU sort path
     ids_sorted = ids[order]
     starts = jnp.searchsorted(
         ids_sorted, jnp.arange(num_segments + 1, dtype=jnp.int32), side="left"

@@ -185,3 +185,32 @@ def test_grid_culled_overflow_when_capacity_too_small(rng):
         order="index", inclusive=False,
     )
     assert bool(ov)
+
+
+def test_precomputed_xyz_gradients_match_brute(rng):
+    """gather3_values (search-emitted coordinates, plan-based adjoint) must
+    give the same position gradients as the plain gather path."""
+    import jax
+
+    points = rng.uniform(-0.4, 0.4, size=(150, 3)).astype(np.float32)
+    queries = rng.uniform(-0.3, 0.3, size=(32, 3)).astype(np.float32)
+
+    def loss_grid(p):
+        grid = ns.build_cell_grid(p, (-1, -1, -1), (1, 1, 1), 0.225)
+        res, _ = ns.radius_search_grid(
+            jnp.asarray(queries), grid, 0.225, 8, order="index", inclusive=False
+        )
+        return jnp.sum(res.sq_dists**2)
+
+    def loss_brute(p):
+        res = ns.radius_search_brute(
+            jnp.asarray(queries), p, 0.225, 8, order="index", inclusive=False
+        )
+        return jnp.sum(res.sq_dists**2)
+
+    g_grid = jax.grad(loss_grid)(jnp.asarray(points))
+    g_brute = jax.grad(loss_brute)(jnp.asarray(points))
+    assert np.any(np.asarray(g_brute) != 0)
+    np.testing.assert_allclose(
+        np.asarray(g_grid), np.asarray(g_brute), rtol=1e-5, atol=1e-7
+    )
