@@ -83,10 +83,12 @@ def main():
         donate_argnums=(0, 1, 2, 3),
     )
 
+    # static boundary grid: built once per scene (as in the trainers)
+    box_grid = transition.make_grid(jnp.asarray(box))
     carry = (params_r, params_t, opt_r_state, opt_t_state)
     inputs = (
         jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(box), jnp.asarray(nrm),
-        jnp.asarray(ro), jnp.asarray(rays), jnp.asarray(rgbs),
+        jnp.asarray(ro), jnp.asarray(rays), jnp.asarray(rgbs), box_grid,
     )
 
     # compile + warmup

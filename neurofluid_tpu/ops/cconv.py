@@ -174,15 +174,18 @@ def cconv_geometry(
     radius = extent / 2.0
     safe_idx = jnp.maximum(neighbors.idx, 0)
     if neighbors.xyz is not None and plan is not None:
-        # selected coordinates came free from the search; only the backward
-        # (plan-based segment-sum into points) remains
+        # selected coordinates were extracted by the search (emit_xyz=True);
+        # only the backward (plan-based segment-sum into points) remains
         nb = segment_ops.gather3_values(
             points, safe_idx, *neighbors.xyz, plan.order, plan.starts
         )
     elif plan is not None:
-        nb = segment_ops.take_columns3_planned(
+        # ONE (Q, K) row gather of the (N, 3) table — measured 2x faster on
+        # v5e than three per-coordinate gathers from (N,) columns
+        rows = segment_ops.take_rows_planned(
             points, safe_idx, plan.order, plan.starts
         )
+        nb = tuple(rows[..., ax] for ax in range(3))
     else:
         nb = segment_ops.take_columns3(points, safe_idx)
     off = [

@@ -53,13 +53,17 @@ class NeighborList(NamedTuple):
               this feeds `num_fluid_neighbors` in the transition-model loss
               (reference models/transmodel.py:133-138).
     xyz:      optional tuple of 3 (Q, K) arrays — the selected neighbors'
-              coordinates as STOP-GRADIENT values, emitted by the search for
-              free (candidates are already resident during selection).
-              Consumers wrap them in `segment_ops.gather3_values` to make
-              them differentiable w.r.t. the point table without paying a
-              forward gather (scalar gathers from (N,) columns run ~140M
-              elem/s on TPU and dominated the round-1 step). Arbitrary
-              finite values at masked slots.
+              coordinates as STOP-GRADIENT values, extracted during selection
+              (`emit_xyz=True`). Consumers wrap them in
+              `segment_ops.gather3_values` to make them differentiable w.r.t.
+              the point table without paying a forward gather. MEASURED
+              TRADE-OFF (v5e, round 2): the in-selection `take_along_axis`
+              extraction from the (Q, candidates) arrays runs ~55M elem/s and
+              cost ~245 ms/step at the bench working point — MORE than the
+              (Q, K) row gather from the point table it avoids (~31 ms for
+              the fine pass). Emission is therefore OFF by default; consumers
+              gather rows by index instead. Arbitrary finite values at
+              masked slots when present.
     """
 
     idx: jax.Array
@@ -159,6 +163,7 @@ def _brute_chunk(
     inclusive: bool,
     exclude_self: bool,
     selection: str = "sort",
+    emit_xyz: bool = False,
 ):
     # Coordinate-wise (q - p)^2 accumulation. Two reasons for this shape:
     # (a) TPU pads the minor dimension to 128 lanes, so any (C, N, 3) array
@@ -180,9 +185,11 @@ def _brute_chunk(
     cand_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[None, :], d2.shape
     )
-    cand_xyz = tuple(
-        jnp.broadcast_to(points[None, :, ax], d2.shape) for ax in range(3)
-    )
+    cand_xyz = None
+    if emit_xyz:
+        cand_xyz = tuple(
+            jnp.broadcast_to(points[None, :, ax], d2.shape) for ax in range(3)
+        )
     idx, sq, mask, sel_xyz = _select_from_candidates(
         d2, cand_idx, within, k, order, selection, cand_xyz=cand_xyz
     )
@@ -230,6 +237,7 @@ def radius_search_brute(
     exclude_self: bool = False,
     query_chunk: int = 4096,
     selection: str = "sort",
+    emit_xyz: bool = False,
 ) -> NeighborList:
     """Exact fixed-radius search by tiled brute force.
 
@@ -251,6 +259,7 @@ def radius_search_brute(
         inclusive=inclusive,
         exclude_self=exclude_self,
         selection=selection,
+        emit_xyz=emit_xyz,
     )
     if chunks.shape[0] == 1:
         idx, _sq, mask, count, xyz = fn(chunks[0])
@@ -259,10 +268,12 @@ def radius_search_brute(
         idx = idx.reshape(-1, k)
         mask = mask.reshape(-1, k)
         count = count.reshape(-1)
-        xyz = tuple(c.reshape(-1, k) for c in xyz)
+        if xyz is not None:
+            xyz = tuple(c.reshape(-1, k) for c in xyz)
     if pad:
         idx, mask, count = idx[:q], mask[:q], count[:q]
-        xyz = tuple(c[:q] for c in xyz)
+        if xyz is not None:
+            xyz = tuple(c[:q] for c in xyz)
     sq = _recompute_sq_dists(queries, points, idx, mask, xyz=xyz)
     return NeighborList(idx, sq, mask, count, xyz)
 
@@ -272,7 +283,8 @@ def radius_search_brute(
 # ---------------------------------------------------------------------------
 
 
-class CellGrid(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class CellGrid:
     """Dense per-cell tables over a fixed bounding box.
 
     TPU rationale: candidate lookup must be expressible as ROW gathers (wide
@@ -285,18 +297,39 @@ class CellGrid(NamedTuple):
     table_idx:   (num_cells + 1, cap) i32 original point index, -1 at empty.
     overflow:    bool scalar — some cell had more than `cap` points (the tail
                  was dropped; rebuild with a larger cap).
+
+    Registered as a pytree with (dims, cap, cell_size) as STATIC aux data so
+    a prebuilt grid can cross jit boundaries — e.g. the e2e step receives the
+    static boundary-particle grid built once per scene instead of rebuilding
+    it every step (the box never moves; reference models/transmodel.py treats
+    box particles as constant inputs too).
     """
 
-    table_x: jax.Array
-    table_y: jax.Array
-    table_z: jax.Array
-    table_idx: jax.Array
-    dims: tuple
-    cap: int
-    origin: jax.Array
-    cell_size: float
-    overflow: jax.Array
-    points_original: jax.Array  # unsorted input (differentiable handle)
+    def __init__(self, table_x, table_y, table_z, table_idx, dims, cap,
+                 origin, cell_size, overflow, points_original):
+        self.table_x = table_x
+        self.table_y = table_y
+        self.table_z = table_z
+        self.table_idx = table_idx
+        self.dims = dims
+        self.cap = cap
+        self.origin = origin
+        self.cell_size = cell_size
+        self.overflow = overflow
+        self.points_original = points_original  # unsorted (diff handle)
+
+    def tree_flatten(self):
+        children = (
+            self.table_x, self.table_y, self.table_z, self.table_idx,
+            self.origin, self.overflow, self.points_original,
+        )
+        return children, (self.dims, self.cap, self.cell_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        tx, ty, tz, ti, origin, overflow, points = children
+        dims, cap, cell_size = aux
+        return cls(tx, ty, tz, ti, dims, cap, origin, cell_size, overflow, points)
 
 
 def build_cell_grid(
@@ -370,6 +403,7 @@ def _grid_chunk(
     inclusive: bool,
     exclude_self: bool,
     selection: str = "sort",
+    emit_xyz: bool = False,
 ):
     dims = grid.dims
     cap = grid.cap
@@ -411,7 +445,8 @@ def _grid_chunk(
         within = within & (d2 > 0.0)
     count = jnp.sum(within, axis=-1).astype(jnp.int32)
     idx, sq, mask, sel_xyz = _select_from_candidates(
-        d2, cand_idx, within, k, order, selection, cand_xyz=tuple(cand_xyz)
+        d2, cand_idx, within, k, order, selection,
+        cand_xyz=tuple(cand_xyz) if emit_xyz else None,
     )
     return idx, sq, mask, count, sel_xyz
 
@@ -427,6 +462,7 @@ def radius_search_grid(
     query_chunk: int = 4096,
     max_per_cell: int | None = None,  # kept for API compat; cap is set at build
     selection: str = "sort",
+    emit_xyz: bool = False,
 ) -> tuple[NeighborList, jax.Array]:
     """Fixed-radius search against a prebuilt `CellGrid`.
 
@@ -448,6 +484,7 @@ def radius_search_grid(
         inclusive=inclusive,
         exclude_self=exclude_self,
         selection=selection,
+        emit_xyz=emit_xyz,
     )
     if chunks.shape[0] == 1:
         idx, _sq, mask, count, xyz = fn(chunks[0])
@@ -456,10 +493,12 @@ def radius_search_grid(
         idx = idx.reshape(-1, k)
         mask = mask.reshape(-1, k)
         count = count.reshape(-1)
-        xyz = tuple(c.reshape(-1, k) for c in xyz)
+        if xyz is not None:
+            xyz = tuple(c.reshape(-1, k) for c in xyz)
     if pad:
         idx, mask, count = idx[:q], mask[:q], count[:q]
-        xyz = tuple(c[:q] for c in xyz)
+        if xyz is not None:
+            xyz = tuple(c[:q] for c in xyz)
     # idx refers to ORIGINAL point order (table_idx stores original ids)
     sq = _recompute_sq_dists(queries, grid.points_original, idx, mask, xyz=xyz)
     return NeighborList(idx, sq, mask, count, xyz), grid.overflow
@@ -476,6 +515,7 @@ def radius_search_grid_culled(
     exclude_self: bool = False,
     query_chunk: int = 4096,
     selection: str = "sort",
+    emit_xyz: bool = False,
 ) -> tuple[NeighborList, jax.Array]:
     """Grid search that skips provably-empty queries (outside the particle
     AABB inflated by `radius`).
@@ -512,7 +552,7 @@ def radius_search_grid_culled(
     result, grid_overflow = radius_search_grid(
         compact, grid, radius, k,
         order=order, inclusive=inclusive, exclude_self=exclude_self,
-        query_chunk=query_chunk, selection=selection,
+        query_chunk=query_chunk, selection=selection, emit_xyz=emit_xyz,
     )
 
     # scatter back by inverse permutation (gather formulation; f32 argsort)
@@ -522,9 +562,11 @@ def radius_search_grid_culled(
     idx = jnp.where(in_compact[:, None], result.idx[safe_rank], -1)
     mask = jnp.where(in_compact[:, None], result.mask[safe_rank], False)
     count = jnp.where(in_compact, result.count[safe_rank], 0)
-    xyz = tuple(
-        jnp.where(in_compact[:, None], c[safe_rank], 0.0) for c in result.xyz
-    )
+    xyz = None
+    if result.xyz is not None:
+        xyz = tuple(
+            jnp.where(in_compact[:, None], c[safe_rank], 0.0) for c in result.xyz
+        )
     sq = _recompute_sq_dists(queries, grid.points_original, idx, mask, xyz=xyz)
     return (
         NeighborList(idx, sq, mask, count, xyz),

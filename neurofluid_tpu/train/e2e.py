@@ -62,11 +62,13 @@ def make_e2e_train_step(
 
     def train_step(
         params_r, params_t, opt_r_state, opt_t_state,
-        pos, vel, box, nrm, ro_v, rays_v, rgbs_v,
+        pos, vel, box, nrm, ro_v, rays_v, rgbs_v, box_grid=None,
     ):
         def loss_fn(pr, pt):
+            # box_grid: the static boundary grid, built once per scene by the
+            # caller (ParticleNet.make_grid) — rebuilt inside if not given
             pred_pos, pred_vel, _nn, diag = transition.apply(
-                pt, pos, vel, box, nrm, return_diag=True
+                pt, pos, vel, box, nrm, return_diag=True, box_grid=box_grid
             )
 
             def render_view(ro, rays):
@@ -180,6 +182,12 @@ class E2ETrainer(TrainerBase):
         rays8 = jnp.asarray(d0["rays"][0][:8])
         ro = jnp.asarray(d0["cw"][0][:, 3])
         self.params_r = self.renderer.init(self.next_key(), pos, ro, rays8)
+
+        # static boundary grid: built once per scene, passed into every step
+        self.box_grid = (
+            self.transition.make_grid(box)
+            if self.transition.search_backend != "brute" else None
+        )
 
         if cfg.TRAIN.get("pretrained_transition_model"):
             loaded, _ = ckpt.restore_checkpoint(cfg.TRAIN.pretrained_transition_model)
@@ -301,7 +309,7 @@ class E2ETrainer(TrainerBase):
                     self.opt_r_state, self.opt_t_state,
                     state_pos, state_vel,
                     jnp.asarray(data["box"]), jnp.asarray(data["box_normals"]),
-                    ro_v, rays_v, rgbs_v,
+                    ro_v, rays_v, rgbs_v, self.box_grid,
                 )
                 last_loss = loss
 

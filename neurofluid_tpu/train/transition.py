@@ -50,10 +50,15 @@ def make_rollout_fn(net: ParticleNet, with_diag: bool = False):
     the per-step search-health flags (see ParticleNet.__call__)."""
 
     def rollout(params, pos, vel, box, box_normals, n_steps: int):
+        # the boundary is static across the rollout: build its grid ONCE
+        # instead of once per scanned step
+        box_grid = net.make_grid(box) if net.search_backend != "brute" else None
+
         def body(carry, _):
             p, v, ov = carry
             p2, v2, _, diag = net.apply(
-                params, p, v, box, box_normals, return_diag=True
+                params, p, v, box, box_normals, return_diag=True,
+                box_grid=box_grid,
             )
             ov = {k: jnp.logical_or(ov[k], diag[k]) for k in ov}
             return (p2, v2, ov), p2
@@ -120,12 +125,16 @@ class TransitionTrainer(TrainerBase):
         bounds = self.box_bounds
 
         def train_step(params, opt_state, pos0, vel0, pos1, pos2, box, nrm):
+            # the box is constant across the 2-step rollout (rotation
+            # augmentation happens per sample, outside): one grid build
+            box_grid = net.make_grid(box) if net.search_backend != "brute" else None
+
             def loss_fn(p):
                 pred1, v1, nn1, diag1 = net.apply(
-                    p, pos0, vel0, box, nrm, return_diag=True
+                    p, pos0, vel0, box, nrm, return_diag=True, box_grid=box_grid
                 )
                 pred2, v2, nn2, diag2 = net.apply(
-                    p, pred1, v1, box, nrm, return_diag=True
+                    p, pred1, v1, box, nrm, return_diag=True, box_grid=box_grid
                 )
                 l1 = losses.weighted_mse_loss(pred1, pos1, nn1)
                 l2 = losses.weighted_mse_loss(pred2, pos2, nn2)
