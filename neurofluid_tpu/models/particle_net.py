@@ -108,6 +108,19 @@ class ParticleNet(nn.Module):
     # sharded. This is the spatial-parallel path for large scenes — a new
     # capability over the single-GPU reference (SURVEY.md 2.4).
     shard_axis: str | None = None
+    # halo_size > 0 (with shard_axis) switches from per-layer all_gather to
+    # SLAB HALO EXCHANGE: shards own contiguous slabs along spatial coordinate
+    # `halo_axis` (caller contract: particles globally sorted by that
+    # coordinate before splitting), and each layer ppermutes only the
+    # halo_size boundary particles to/from the two adjacent shards — ICI
+    # traffic O(halo * C) per layer instead of O(N * C). Insufficiency is
+    # detected, never silent: the diag carries `halo_overflow` (more than
+    # halo_size particles within `radius` of a slab face, or a slab narrower
+    # than the search radius so a 2-away shard could hold in-radius
+    # neighbors) and it is OR-ed into grid_overflow for the trainers'
+    # fail-loudly policy.
+    halo_size: int = 0
+    halo_axis: int = 0
 
     @property
     def filter_extent(self) -> float:
@@ -132,18 +145,26 @@ class ParticleNet(nn.Module):
             max_per_cell=self.grid_max_per_cell,
         )
 
-    def _search(self, queries, points, radius, k, exclude_self, grid=None):
+    def _search(self, queries, points, radius, k, exclude_self, grid=None,
+                points_valid=None):
         """Returns (NeighborList, grid_overflow). grid_overflow is True when a
         grid cell exceeded `grid_max_per_cell` and tail candidates were
         dropped — the result may then be missing in-radius neighbors. Callers
         MUST surface this (see `__call__`'s diag output); silently dropping
-        it corrupts physics (a compressed state packs >cap points per cell)."""
+        it corrupts physics (a compressed state packs >cap points per cell).
+
+        `points_valid` (N,) bool marks masked halo slots: excluded from grid
+        tables; the brute path excludes them via their 1e9 sentinel coords."""
         backend = self.search_backend
         if backend == "auto":
             backend = "grid" if points.shape[0] >= 4096 else "brute"
         if backend == "grid" or grid is not None:
             if grid is None:
-                grid = self.make_grid(points)
+                cell = max(radius, 1e-6)
+                grid = ns.build_cell_grid(
+                    points, self.grid_lower, self.grid_upper, cell,
+                    max_per_cell=self.grid_max_per_cell, valid=points_valid,
+                )
             result, overflow = ns.radius_search_grid(
                 queries, grid, radius, k,
                 order="nearest", inclusive=True, exclude_self=exclude_self,
@@ -156,6 +177,71 @@ class ParticleNet(nn.Module):
             query_chunk=self.query_chunk,
         )
         return result, jnp.asarray(False)
+
+    def _halo_plan(self, pos_new, radius):
+        """Slab halo exchange plan (shard_map body; see `halo_size` docs).
+
+        Caller contract: each device owns a contiguous slab along coordinate
+        `halo_axis` (particles globally sorted by it before splitting), so the
+        send-right candidates are a static SUFFIX slice and the send-left
+        candidates a static PREFIX slice — no top-k, no compaction. Returns
+        (extend_pos, extend_feats, valid_mask, halo_overflow):
+
+        - extend_pos(p):   (Nl,3) -> (Nl+2H,3); masked halo slots read 1e9
+          (outside every search radius; excluded from grid tables via the
+          valid mask).
+        - extend_feats(f): (Nl,C) -> (Nl+2H,C); masked slots read 0. Called
+          per conv layer — 2 ppermutes of (H, C) over ICI replace the
+          all_gather of (N, C).
+        - halo_overflow: True anywhere the static halo is insufficient —
+          more than H particles within `radius` of a slab face, or a shard
+          two hops away could hold in-radius neighbors (slab narrower than
+          the radius). All-reduced; never silently wrong.
+        """
+        axn = self.shard_axis
+        H = int(self.halo_size)
+        n_local = pos_new.shape[0]
+        if H > n_local:
+            raise ValueError(f"halo_size {H} > local particles {n_local}")
+
+        def from_shift(x, s):
+            # value of x on device (axis_index + s); zeros where absent
+            n = jax.lax.axis_size(axn)
+            perm = [(i, i - s) for i in range(n) if 0 <= i - s < n]
+            return jax.lax.ppermute(x, axn, perm)
+
+        c = jax.lax.stop_gradient(pos_new[:, self.halo_axis])
+        hi, lo = jnp.max(c), jnp.min(c)
+        suf_mask = c[-H:] > hi - radius  # candidates for the right neighbor
+        pre_mask = c[:H] < lo + radius   # candidates for the left neighbor
+        over = jnp.logical_or(
+            jnp.sum((c > hi - radius).astype(jnp.int32)) > H,
+            jnp.sum((c < lo + radius).astype(jnp.int32)) > H,
+        )
+        # 2-hop violation: shard d+2's slab starts within radius of ours
+        one = jnp.ones((1,), jnp.float32)
+        lo_p2 = from_shift(lo[None], 2)
+        exists_p2 = from_shift(one, 2) > 0.5
+        over = jnp.logical_or(over, jnp.any(exists_p2 & (lo_p2 - hi < radius)))
+        halo_over = jax.lax.psum(over.astype(jnp.int32), axn) > 0
+
+        r_msk = from_shift(suf_mask.astype(jnp.float32), -1) > 0.5  # from d-1
+        l_msk = from_shift(pre_mask.astype(jnp.float32), 1) > 0.5   # from d+1
+        valid = jnp.concatenate(
+            [jnp.ones((n_local,), bool), r_msk, l_msk], axis=0
+        )
+
+        def extend_pos(p):
+            r = jnp.where(r_msk[:, None], from_shift(p[-H:], -1), 1e9)
+            l = jnp.where(l_msk[:, None], from_shift(p[:H], 1), 1e9)
+            return jnp.concatenate([p, r, l], axis=0)
+
+        def extend_feats(f):
+            r = jnp.where(r_msk[:, None], from_shift(f[-H:], -1), 0.0)
+            l = jnp.where(l_msk[:, None], from_shift(f[:H], 1), 0.0)
+            return jnp.concatenate([f, r, l], axis=0)
+
+        return extend_pos, extend_feats, valid, halo_over
 
     @nn.compact
     def __call__(self, pos, vel, box, box_feats, feats=None, return_diag=False,
@@ -190,22 +276,33 @@ class ParticleNet(nn.Module):
 
         pos_new, vel_new = self.integrate_pos_vel(pos, vel)
 
-        def gather_full(x):
-            if self.shard_axis is None:
-                return x
-            return jax.lax.all_gather(x, self.shard_axis, axis=0, tiled=True)
+        halo_over = jnp.asarray(False)
+        halo_valid = None
+        if self.shard_axis is not None and self.halo_size > 0:
+            extend_pos, extend_feats, halo_valid, halo_over = self._halo_plan(
+                pos_new, radius
+            )
+        elif self.shard_axis is not None:
+            def extend_pos(x):
+                return jax.lax.all_gather(x, self.shard_axis, axis=0, tiled=True)
 
-        all_pos_new = gather_full(pos_new)
+            extend_feats = extend_pos
+        else:
+            extend_pos = extend_feats = lambda x: x
+
+        all_pos_new = extend_pos(pos_new)
 
         fluid_feats = [jnp.ones_like(pos_new[:, :1]), vel_new]
         if feats is not None:
             fluid_feats.append(feats)
         fluid_feats = jnp.concatenate(fluid_feats, axis=-1)
-        all_fluid_feats = gather_full(fluid_feats)
+        all_fluid_feats = extend_feats(fluid_feats)
 
         fluid_nbrs, ov_fluid = self._search(
-            pos_new, all_pos_new, radius, self.fluid_neighbor_k, exclude_self=True
+            pos_new, all_pos_new, radius, self.fluid_neighbor_k,
+            exclude_self=True, points_valid=halo_valid,
         )
+        ov_fluid = jnp.logical_or(ov_fluid, halo_over)
         box_nbrs, ov_box = self._search(
             pos_new, box, radius, self.obstacle_neighbor_k, exclude_self=False,
             grid=box_grid,
@@ -242,7 +339,7 @@ class ParticleNet(nn.Module):
         for i, ch in enumerate(self.layer_channels[1:], start=1):
             inp = nn.relu(h)
             ans_conv = ContinuousConvLayer(ch, name=f"conv{i}", **conv_args)(
-                gather_full(inp), fluid_nbrs, fl_corner, fl_tapw, plan=fluid_plan
+                extend_feats(inp), fluid_nbrs, fl_corner, fl_tapw, plan=fluid_plan
             )
             ans_d = nn.Dense(ch, name=f"dense{i}")(inp)
             if ch == h.shape[-1]:

@@ -338,10 +338,15 @@ def build_cell_grid(
     upper: tuple,
     cell_size: float,
     max_per_cell: int = 64,
+    valid: jax.Array | None = None,
 ) -> CellGrid:
     """Build dense cell tables. Points outside [lower, upper] are clamped to
     border cells (they still participate in search; the box covers the fluid
     container so out-of-box particles are rare transients).
+
+    `valid` (N,) bool, optional: points marked False are EXCLUDED from the
+    tables entirely (used for masked halo slots in the sharded transition
+    model — sentinel positions must not pollute border-cell capacity).
 
     Construction is scatter-free: points are argsorted by cell id and the
     padded tables are filled by a (num_cells * cap)-sized gather.
@@ -362,6 +367,10 @@ def build_cell_grid(
         jnp.asarray(dims, jnp.int32) - 1,
     )
     cell_id = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    if valid is not None:
+        # invalid points sort past every real cell and are never densified
+        num_cells_ = dims[0] * dims[1] * dims[2]
+        cell_id = jnp.where(jax.lax.stop_gradient(valid), cell_id, num_cells_)
     # f32 sort keys (fast TPU sort path); cell ids < 2^24 are exact in f32
     order = jnp.argsort(cell_id.astype(jnp.float32)).astype(jnp.int32)
     sorted_cell_id = cell_id[order]

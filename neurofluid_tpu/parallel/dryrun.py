@@ -17,6 +17,7 @@ from neurofluid_tpu.models.particle_net import ParticleNet
 from neurofluid_tpu.models.render_net import RenderNet
 from neurofluid_tpu.parallel.mesh import make_mesh
 from neurofluid_tpu.parallel.sharding import (
+    make_halo_particle_step,
     make_sharded_e2e_step,
     make_sharded_particle_step,
     shard_ray_batch,
@@ -129,16 +130,58 @@ def run_particle_sharded_step(n_devices: int, seed: int = 0):
     )
 
 
+def run_halo_particle_step(n_devices: int, seed: int = 0, halo_size: int = 32):
+    """Halo-exchange particle-sharded step vs the replicated step.
+
+    Particles are globally sorted along x (halo_axis=0) and spread so each
+    shard's slab is wider than the search radius (the caller contract the
+    halo strategy documents)."""
+    mesh = make_mesh(n_devices, axis_name="particles")
+    rng = np.random.default_rng(seed)
+    n = 64 * max(1, n_devices)
+    pos = rng.uniform(-0.3, 0.3, size=(n, 3)).astype(np.float32)
+    # stretch x so each of the n slabs is wider than radius (0.1125)
+    pos[:, 0] *= max(1.0, 0.55 * n_devices)
+    pos = pos[np.argsort(pos[:, 0])]  # slab contract: sorted by halo_axis
+    vel = (rng.normal(size=(n, 3)) * 0.05).astype(np.float32)
+    box = rng.uniform(-0.6, 0.6, size=(48, 3)).astype(np.float32)
+    nrm = np.tile(np.asarray([0, 0, 1.0], np.float32), (48, 1))
+
+    def factory(axis):
+        return ParticleNet(search_backend="brute", fluid_neighbor_k=16,
+                           obstacle_neighbor_k=8, shard_axis=axis,
+                           halo_size=halo_size, halo_axis=0)
+
+    net_ref = factory(None)
+    args = tuple(jnp.asarray(a) for a in (pos, vel, box, nrm))
+    params = net_ref.init(jax.random.PRNGKey(0), *args)
+    ref_pos, _, ref_nn = net_ref.apply(params, *args)
+
+    step = make_halo_particle_step(factory, mesh)
+    sh_pos, _, sh_nn, diag = step(params, *args)
+    return (
+        np.asarray(ref_pos), np.asarray(sh_pos),
+        np.asarray(ref_nn), np.asarray(sh_nn),
+        {k: bool(v) for k, v in diag.items()},
+    )
+
+
 def dryrun_multichip(n_devices: int) -> None:
-    """Driver entry: full sharded e2e train step + particle-sharded step."""
+    """Driver entry: full sharded e2e train step + particle-sharded step
+    (all_gather strategy) + halo-exchange particle-sharded step."""
     result = run_e2e_step(n_devices, sharded=True)
     assert np.isfinite(result["loss"]), result
     assert np.all(np.isfinite(result["next_pos"]))
     ref_pos, sh_pos, ref_nn, sh_nn = run_particle_sharded_step(n_devices)
     np.testing.assert_array_equal(ref_nn, sh_nn)
     np.testing.assert_allclose(ref_pos, sh_pos, atol=1e-5)
+    h_ref, h_sh, h_rnn, h_snn, h_diag = run_halo_particle_step(n_devices)
+    assert not h_diag["grid_overflow"], h_diag  # halo must be sufficient here
+    np.testing.assert_array_equal(h_rnn, h_snn)
+    np.testing.assert_allclose(h_ref, h_sh, atol=1e-5)
     print(
         f"dryrun_multichip({n_devices}): e2e loss={result['loss']:.6f}, "
         f"particle-sharded step matches replicated (max diff "
-        f"{np.abs(ref_pos - sh_pos).max():.2e})"
+        f"{np.abs(ref_pos - sh_pos).max():.2e}), halo-exchange step matches "
+        f"replicated (max diff {np.abs(h_ref - h_sh).max():.2e})"
     )

@@ -15,9 +15,15 @@ orthogonal strategies, matching the workload's natural axes:
 2. **Particle sharding** (`make_sharded_particle_step`): spatial parallelism
    for large scenes via shard_map — each device owns a particle shard,
    all_gathers the (much smaller) position/feature set per conv layer over
-   ICI, and keeps state + correction computation local. (Per-layer halo
-   exchange instead of full all_gather is the planned optimization once
-   scenes exceed HBM.)
+   ICI, and keeps state + correction computation local.
+
+3. **Halo-exchange particle sharding** (`make_halo_particle_step`): shards
+   own contiguous SLABS along a spatial axis (particles pre-sorted by that
+   coordinate); each conv layer ppermutes only the fixed-size boundary halo
+   between adjacent shards — ICI traffic O(halo * C) per layer instead of
+   O(N * C), which is what makes particle counts beyond single-chip HBM
+   feasible. Halo insufficiency is detected and flagged (fail-loudly), never
+   silently wrong (see ParticleNet._halo_plan).
 """
 
 from __future__ import annotations
@@ -101,6 +107,44 @@ def make_sharded_particle_step(net_factory, params_axis_mesh: Mesh,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
         out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_halo_particle_step(net_factory, mesh: Mesh,
+                            axis_name: str = "particles"):
+    """Halo-exchange particle-sharded transition step via shard_map.
+
+    `net_factory(shard_axis)` must build the ParticleNet with the given
+    shard_axis AND halo_size > 0. Input pos/vel must be globally sorted by
+    the net's `halo_axis` coordinate before splitting into shards (each
+    device then owns a contiguous spatial slab). Returns
+    step(params, pos, vel, box, nrm) -> (pos', vel', num_nn, diag) with diag
+    flags all-reduced over the mesh (replicated) — `grid_overflow` includes
+    halo insufficiency and MUST be checked by callers (fail-loudly policy).
+    """
+    import jax.numpy as jnp
+
+    net = net_factory(axis_name)
+    if net.halo_size <= 0:
+        raise ValueError("make_halo_particle_step needs halo_size > 0")
+
+    def local_step(params, pos, vel, box, nrm):
+        p, v, nn, diag = net.apply(params, pos, vel, box, nrm, return_diag=True)
+        # replicate the health flags: every device must see every shard's
+        # overflow, else out_specs P() would silently take shard 0's copy
+        diag = {
+            k: jax.lax.psum(v.astype(jnp.int32), axis_name) > 0
+            for k, v in diag.items()
+        }
+        return p, v, nn, diag
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
         check_vma=False,
     )
     return jax.jit(sharded)

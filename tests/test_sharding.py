@@ -44,6 +44,32 @@ def test_dryrun_multichip_8_devices():
     assert "DRYRUN_OK" in out
 
 
+def test_halo_particle_step_matches_replicated():
+    out = _run_subprocess(
+        "import numpy as np\n"
+        "from neurofluid_tpu.parallel import dryrun\n"
+        "ref, sh, rnn, snn, diag = dryrun.run_halo_particle_step(8)\n"
+        "assert not diag['grid_overflow'], diag\n"
+        "np.testing.assert_array_equal(rnn, snn)\n"
+        "np.testing.assert_allclose(ref, sh, atol=1e-5)\n"
+        "print('HALO_OK', np.abs(ref - sh).max())\n"
+    )
+    assert "HALO_OK" in out
+
+
+def test_halo_insufficiency_is_flagged():
+    """Fail-loudly contract: a halo too small for the boundary population
+    (halo_size=2) must raise the overflow flag, never silently drop
+    neighbors."""
+    out = _run_subprocess(
+        "from neurofluid_tpu.parallel import dryrun\n"
+        "*_, diag = dryrun.run_halo_particle_step(8, halo_size=2)\n"
+        "assert diag['grid_overflow'], diag\n"
+        "print('HALO_FLAG_OK')\n"
+    )
+    assert "HALO_FLAG_OK" in out
+
+
 def test_sharded_e2e_matches_single_device():
     out = _run_subprocess(
         "import numpy as np\n"
