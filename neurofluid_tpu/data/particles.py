@@ -89,7 +89,7 @@ class ParticleDataset:
             paths = _sorted_by_int(paths, lambda x: int(x.split("_")[-1][:-4]))
             paths = paths[self.start : self.end]
             samples += self._frame_samples(
-                paths, osp.join(sim_dir, "box.pt"), keep_last=False
+                paths, self._box_path(sim_dir), keep_last=False
             )
         return samples
 

@@ -79,19 +79,28 @@ def make_box(spacing: float = 0.1, wall_height: float = 1.2):
     )
 
 
-def simulate(pos, vel, n_frames: int, restitution: float = 0.3, seed: int = 10):
+def simulate(pos, vel, n_frames: int, restitution: float = 0.3, seed: int = 10,
+             gravity=None, bounds=None):
     """Ballistic fall with damped floor/wall bounces + mild pressure jitter.
+
+    `gravity` (3,) and `bounds` ((lower, upper)) default to the z-up container
+    constants; the randomized scene generator passes the reference's y-up sim
+    convention instead.
 
     Returns (positions (F, N, 3), velocities (F, N, 3)) including the initial
     state as frame 0.
     """
     rng = np.random.default_rng(seed)
+    g = GRAVITY if gravity is None else np.asarray(gravity, np.float32)
+    bmin, bmax = (BOX_MIN, BOX_MAX) if bounds is None else (
+        np.asarray(bounds[0], np.float32), np.asarray(bounds[1], np.float32)
+    )
     p, v = pos.copy(), vel.copy()
     out_p, out_v = [p.copy()], [v.copy()]
-    lo = BOX_MIN + PARTICLE_RADIUS
-    hi = BOX_MAX - PARTICLE_RADIUS
+    lo = bmin + PARTICLE_RADIUS
+    hi = bmax - PARTICLE_RADIUS
     for _ in range(n_frames - 1):
-        v = v + GRAVITY * DT
+        v = v + g * DT
         p = p + v * DT
         for ax in range(3):
             low = p[:, ax] < lo[ax]

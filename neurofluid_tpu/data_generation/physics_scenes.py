@@ -120,6 +120,281 @@ def sample_fluid_block(lower, upper, spacing: float, jitter: float = 0.0,
     return pts
 
 
+def random_rotation_matrix(rng, strength: float = 1.0) -> np.ndarray:
+    """Random 3D rotation with a strength dial (Arvo's method: a random
+    z-rotation composed with a Householder reflection from a random unit
+    vector). strength=1 is uniform over SO(3); strength=0 degenerates to a
+    fixed 180-degree z-rotation (a property of the construction the reference
+    inherits too — create_physics_scenes.py:127-154, used at strength 0 for
+    fluid-shape orientation)."""
+    x = rng.random(3)
+    theta = x[0] * 2 * np.pi * strength
+    phi = x[1] * 2 * np.pi
+    z = x[2] * strength
+    r = np.sqrt(z)
+    v = np.array([np.sin(phi) * r, np.cos(phi) * r, np.sqrt(2.0 - z)])
+    st, ct = np.sin(theta), np.cos(theta)
+    rz = np.array([[ct, st, 0], [-st, ct, 0], [0, 0, 1]])
+    return ((np.outer(v, v) - np.eye(3)) @ rz).astype(np.float32)
+
+
+def rasterize_points(points, voxel_size: float, particle_radius: float):
+    """Occupancy voxelization of a particle set, dilated by +-particle_radius
+    at the 8 cube corners (role of reference create_physics_scenes.py:183-215).
+
+    Returns (grid_min_index, voxel_size, occupancy bool array)."""
+    if not voxel_size > 2 * particle_radius:
+        raise ValueError("voxel_size must exceed 2 * particle_radius")
+    points = np.asarray(points, np.float64)
+    pmin = (points - particle_radius).min(axis=0)
+    pmax = (points + particle_radius).max(axis=0)
+    arr_min = np.floor_divide(pmin, voxel_size).astype(np.int32)
+    arr_max = np.floor_divide(pmax, voxel_size).astype(np.int32) + 1
+    occ = np.zeros(tuple(arr_max - arr_min), bool)
+    signs = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                      for sz in (-1, 1)], np.float64)
+    for s in signs:
+        idx = np.floor_divide(points + s * particle_radius, voxel_size)
+        idx = idx.astype(np.int32) - arr_min
+        occ[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+    return arr_min, voxel_size, occ
+
+
+def find_valid_fluid_start_position(rng, box_rasterized, fluid_rasterized):
+    """Random valid placement of a rasterized fluid shape inside rasterized
+    free space (reference create_physics_scenes.py:218-254): the fluid's
+    occupied voxels must all fall on free voxels, and — so fluids rest on
+    the floor or on previously placed fluids — only the LOWEST valid y per
+    (x, z) column is eligible. Mutates the free-space grid by subtracting
+    the placed fluid. Returns the world-space offset, or None when the shape
+    fits nowhere."""
+    from scipy.ndimage import correlate
+
+    box_min, voxel, free = box_rasterized
+    fl_min, _, fl = fluid_rasterized
+    fits_shape = np.array(free.shape) - np.array(fl.shape) + 1
+    if np.any(fits_shape <= 0):
+        return None
+    # fluid fits at p  <=>  no fluid voxel overlaps a non-free voxel:
+    # cross-correlate the blocked mask with the fluid stencil and keep zeros
+    blocked = (~free).astype(np.float32)
+    overlap = correlate(blocked, fl.astype(np.float32), mode="constant", cval=1.0)
+    c = np.asarray(fl.shape) // 2  # scipy places the kernel origin at shape//2
+    fits = overlap[
+        c[0]:c[0] + fits_shape[0],
+        c[1]:c[1] + fits_shape[1],
+        c[2]:c[2] + fits_shape[2],
+    ] < 0.5
+    # keep only the lowest valid y in each (x, z) column (support rule)
+    lowest = np.zeros_like(fits)
+    any_below = np.zeros(fits_shape[[0, 2]].astype(int).tolist(), bool)
+    for y in range(fits.shape[1]):
+        sel = fits[:, y, :] & ~any_below
+        lowest[:, y, :] = sel
+        any_below |= fits[:, y, :]
+    valid = np.stack(np.nonzero(lowest), axis=-1)
+    if len(valid) == 0:
+        return None
+    pos = valid[rng.integers(0, len(valid))]
+    # subtract the fluid from the free space
+    sl = tuple(slice(p, p + s) for p, s in zip(pos, fl.shape))
+    free[sl] &= ~fl
+    return (pos + box_min).astype(np.float64) * voxel
+
+
+def sample_fluid_shape(rng, shape: str, spacing: float, size_range=(0.2, 0.5)):
+    """Lattice-sample a parametric fluid volume (stand-in for the reference's
+    Fluid_*.obj meshes + VolumeSampling binary, reference :156-167; the obj
+    path is used instead when the binary is installed)."""
+    ext = rng.uniform(*size_range, size=3).astype(np.float64)
+    axes = [np.arange(-e / 2 + spacing / 2, e / 2, spacing) for e in ext]
+    g = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([a.reshape(-1) for a in g], -1)
+    if shape == "box":
+        keep = np.ones(len(pts), bool)
+    elif shape == "ellipsoid":
+        keep = np.sum((pts / (ext / 2)) ** 2, axis=-1) <= 1.0
+    elif shape == "cylinder":
+        keep = (pts[:, 0] / (ext[0] / 2)) ** 2 + (pts[:, 2] / (ext[2] / 2)) ** 2 <= 1.0
+    elif shape == "wedge":
+        keep = pts[:, 1] / (ext[1] + 1e-9) <= pts[:, 0] / (ext[0] + 1e-9) + 0.25
+    else:
+        raise ValueError(f"unknown fluid shape {shape}")
+    return pts[keep].astype(np.float32)
+
+
+FLUID_SHAPES = ("box", "ellipsoid", "cylinder", "wedge")
+MAX_FLUID_START_VELOCITY_XZ = 2.0  # reference create_physics_scenes.py:28
+MAX_FLUID_START_VELOCITY_Y = 0.5   # reference create_physics_scenes.py:29
+
+
+def _msgpack_numpy_encode(obj):
+    """msgpack_numpy wire format (so reference tooling can read our files)."""
+    if isinstance(obj, np.ndarray):
+        return {
+            b"nd": True,
+            b"type": obj.dtype.str,
+            b"kind": b"",
+            b"shape": list(obj.shape),
+            b"data": obj.tobytes(),
+        }
+    if isinstance(obj, np.generic):
+        return {b"nd": False, b"type": obj.dtype.str, b"data": obj.tobytes()}
+    return obj
+
+
+def write_compressed_msgpack(data, path: str, level: int = 22) -> bool:
+    """Frame list -> .msgpack.zst (reference create_physics_scenes.py:115-124);
+    returns False when zstandard/msgpack are unavailable."""
+    try:
+        import msgpack
+        import zstandard as zstd
+    except ImportError:
+        return False
+    packed = msgpack.packb(data, use_bin_type=True, default=_msgpack_numpy_encode)
+    with open(path, "wb") as f:
+        f.write(zstd.ZstdCompressor(level=level).compress(packed))
+    return True
+
+
+def read_compressed_msgpack(path: str):
+    import msgpack
+    import zstandard as zstd
+
+    def hook(obj):
+        if obj.get(b"nd"):
+            arr = np.frombuffer(obj[b"data"], np.dtype(obj[b"type"]))
+            return arr.reshape(obj[b"shape"])
+        return obj
+
+    with open(path, "rb") as f:
+        raw = zstd.ZstdDecompressor().decompress(f.read())
+    return msgpack.unpackb(raw, raw=True, object_hook=hook)
+
+
+def create_random_scene(
+    out_dir: str,
+    seed: int,
+    num_objects: int | None = None,
+    box_lower=(-1.0, 0.0, -1.0),
+    box_upper=(1.0, 2.0, 1.0),
+    n_frames: int = 60,
+    rotation_strength: float = 0.0,
+    export_zst: bool = True,
+) -> dict:
+    """Randomized scene generation with the reference's diversity
+    (reference create_physics_scenes.py:270-400): 1-3 random fluid shapes,
+    random orientation (strength dial), rasterized free-space placement with
+    the rest-on-support rule, random start velocities (xz up to 2.0 m/s,
+    y up to 0.5 m/s), scene.json with one FluidModel per object, simulator
+    run (or ballistic fallback), npz frames + optional .msgpack.zst export.
+
+    Note the sim-space convention is y-up (gravity (0,-9.81,0)) exactly as in
+    the reference; datasets rotate to z-up downstream.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    spacing = 2 * PARTICLE_RADIUS
+    if num_objects is None:
+        num_objects = int(rng.integers(1, 4))
+
+    box, box_normals = sample_box_surface(box_lower, box_upper, spacing=0.05)
+    np.savez(osp.join(out_dir, "box.npz"), box=box, box_normals=box_normals)
+
+    # rasterized free interior (eroded so fluids keep a margin off the walls,
+    # reference :345-347)
+    from scipy.ndimage import binary_erosion
+
+    interior = sample_fluid_block(
+        np.asarray(box_lower) + spacing, np.asarray(box_upper) - spacing, spacing
+    )
+    bmin, voxel, occ = rasterize_points(
+        np.concatenate([interior, box]), 2.01 * PARTICLE_RADIUS, PARTICLE_RADIUS
+    )
+    free = binary_erosion(occ, structure=np.ones((3, 3, 3)), iterations=3)
+    box_rast = (bmin, voxel, free)
+
+    objects = []
+    for _ in range(num_objects):
+        for _attempt in range(10):
+            shape = FLUID_SHAPES[rng.integers(0, len(FLUID_SHAPES))]
+            fluid = sample_fluid_shape(rng, shape, spacing)
+            if len(fluid) == 0:
+                continue
+            fluid = fluid @ random_rotation_matrix(rng, rotation_strength)
+            fl_rast = rasterize_points(fluid, 2.01 * PARTICLE_RADIUS, PARTICLE_RADIUS)
+            offset = find_valid_fluid_start_position(rng, box_rast, fl_rast)
+            if offset is None:
+                continue
+            fluid = fluid + (offset - fl_rast[0] * fl_rast[1]).astype(np.float32)
+            vel = np.zeros_like(fluid)
+            vel[:, 0] = rng.uniform(-MAX_FLUID_START_VELOCITY_XZ,
+                                    MAX_FLUID_START_VELOCITY_XZ)
+            vel[:, 2] = rng.uniform(-MAX_FLUID_START_VELOCITY_XZ,
+                                    MAX_FLUID_START_VELOCITY_XZ)
+            vel[:, 1] = rng.uniform(-MAX_FLUID_START_VELOCITY_Y,
+                                    MAX_FLUID_START_VELOCITY_Y)
+            objects.append({"shape": shape, "positions": fluid, "velocities": vel})
+            break
+
+    if not objects:
+        raise RuntimeError(f"no fluid object could be placed (seed {seed})")
+
+    scene = build_scene_description(
+        [o["positions"] for o in objects], box_lower, box_upper
+    )
+    with open(osp.join(out_dir, "scene.json"), "w") as f:
+        json.dump(scene, f, indent=2)
+    for i, o in enumerate(objects):
+        bgeo.write_bgeo(
+            osp.join(out_dir, f"fluid_{i}.bgeo"), o["positions"],
+            {"velocity": o["velocities"],
+             "id": np.arange(len(o["positions"]), dtype=np.int32)},
+        )
+
+    pos0 = np.concatenate([o["positions"] for o in objects])
+    vel0 = np.concatenate([o["velocities"] for o in objects])
+    outdir = osp.join(out_dir, "output")
+    if run_simulator(out_dir):
+        convert_bgeo_sequence(osp.join(out_dir, "sim_output", "partio"), outdir)
+        frames = sorted(glob.glob(osp.join(outdir, "fluid_*.npz")))
+        seq = [dict(np.load(p)) for p in frames]
+        positions = np.stack([f["pos"] for f in seq])
+        velocities = np.stack([f["vel"] for f in seq])
+    else:
+        from neurofluid_tpu.data import synthetic
+
+        positions, velocities = synthetic.simulate(pos0, vel0, n_frames, seed=seed,
+                                                   gravity=(0.0, -9.81, 0.0),
+                                                   bounds=(box_lower, box_upper))
+        os.makedirs(outdir, exist_ok=True)
+        for i in range(n_frames):
+            np.savez(osp.join(outdir, f"fluid_{i:04d}.npz"),
+                     pos=positions[i], vel=velocities[i])
+
+    if export_zst:
+        frames_data = []
+        for i in range(len(positions)):
+            fd = {
+                "frame_id": np.int64(i),
+                "scene_id": f"sim_{seed:04d}",
+                "pos": positions[i].astype(np.float32),
+                "vel": velocities[i].astype(np.float32),
+                "m": np.full(len(positions[i]),
+                             1000.0 * (2 * PARTICLE_RADIUS) ** 3, np.float32),
+                "viscosity": np.full(len(positions[i]), 0.08, np.float32),
+            }
+            if i == 0:
+                fd["box"] = box.astype(np.float32)
+                fd["box_normals"] = box_normals.astype(np.float32)
+            frames_data.append(fd)
+        write_compressed_msgpack(
+            frames_data, osp.join(out_dir, f"sim_{seed:04d}_00.msgpack.zst")
+        )
+
+    return {"objects": objects, "n_particles": len(pos0), "out_dir": out_dir}
+
+
 def build_scene_description(fluid_blocks, box_lower, box_upper, stop_at=1.2,
                             seed: int = 10) -> dict:
     """Assemble a SPlisHSPlasH scene.json dict (reference :35-59 semantics)."""

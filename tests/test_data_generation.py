@@ -130,3 +130,90 @@ class TestSurfaceMeshes:
         head = open(out).read(200)
         assert head.startswith("ply")
         assert "element vertex" in head
+
+
+class TestRandomizedScenes:
+    """Randomized scene generation parity (reference
+    create_physics_scenes.py:156-254, 270-400)."""
+
+    def test_rasterize_and_placement_respect_free_space(self, rng):
+        pts = physics_scenes.sample_fluid_block((0, 0, 0), (0.3, 0.3, 0.3), 0.05)
+        amin, voxel, occ = physics_scenes.rasterize_points(pts, 0.06, 0.025)
+        assert occ.any()
+        # a shape larger than the free space cannot be placed
+        free = np.zeros((4, 4, 4), bool)
+        free[1:3, 1:3, 1:3] = True
+        big = (np.zeros(3, np.int32), 0.06, np.ones((5, 5, 5), bool))
+        g = np.random.default_rng(0)
+        assert physics_scenes.find_valid_fluid_start_position(
+            g, (np.zeros(3, np.int32), 0.06, free.copy()), big
+        ) is None
+        # a 2x2x2 shape fits exactly in the free 2x2x2 interior
+        small = (np.zeros(3, np.int32), 0.06, np.ones((2, 2, 2), bool))
+        f = free.copy()
+        off = physics_scenes.find_valid_fluid_start_position(
+            g, (np.zeros(3, np.int32), 0.06, f), small
+        )
+        assert off is not None
+        np.testing.assert_allclose(off, np.array([1, 1, 1]) * 0.06)
+        assert not f[1:3, 1:3, 1:3].any()  # free space consumed
+
+    def test_rotation_matrix_is_orthonormal(self):
+        g = np.random.default_rng(3)
+        for s in (0.0, 0.5, 1.0):
+            R = physics_scenes.random_rotation_matrix(g, s)
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-5)
+
+    def test_random_scenes_distinct_valid_and_consumable(self, tmp_path):
+        from neurofluid_tpu.data.particles import ParticleDataset
+
+        infos = []
+        for seed in (1, 2, 3):
+            out = osp.join(tmp_path, f"sim_{seed:04d}")
+            info = physics_scenes.create_random_scene(
+                out, seed=seed, n_frames=5, export_zst=False
+            )
+            infos.append(info)
+            scene = json.load(open(osp.join(out, "scene.json")))
+            assert len(scene["FluidModels"]) == len(info["objects"]) >= 1
+            pos0 = np.concatenate([o["positions"] for o in info["objects"]])
+            # all particles inside the container
+            assert pos0.min() >= -1.0 - 1e-6 and pos0[:, 1].min() >= -1e-6
+            assert pos0.max() <= 2.0 + 1e-6
+            # objects do not interpenetrate: min pairwise distance across
+            # objects at least one particle spacing apart-ish
+            if len(info["objects"]) > 1:
+                a = info["objects"][0]["positions"]
+                b = info["objects"][1]["positions"]
+                d2 = ((a[:, None, :] - b[None, :200, :]) ** 2).sum(-1)
+                assert d2.min() > (0.04) ** 2
+            # start velocities randomized within the reference bounds
+            v = info["objects"][0]["velocities"][0]
+            assert abs(v[0]) <= 2.0 and abs(v[2]) <= 2.0 and abs(v[1]) <= 0.5
+        # scenes differ (shape / count / placement)
+        n = {i["n_particles"] for i in infos}
+        assert len(n) > 1
+        # the windowed particle dataset consumes the raw layout
+        ds = ParticleDataset(
+            str(tmp_path), data_type="raw", start=0, end=4, window=3,
+        )
+        sample = ds[0]
+        assert sample["particles_pos_0"].shape[-1] == 3
+        assert len(ds) >= 1
+
+    def test_msgpack_zst_roundtrip(self, tmp_path):
+        pytest.importorskip("zstandard")
+        pytest.importorskip("msgpack")
+        frames = [
+            {"frame_id": np.int64(0), "pos": np.ones((5, 3), np.float32),
+             "box": np.zeros((2, 3), np.float32)},
+            {"frame_id": np.int64(1), "pos": np.full((5, 3), 2.0, np.float32)},
+        ]
+        path = osp.join(tmp_path, "x.msgpack.zst")
+        assert physics_scenes.write_compressed_msgpack(frames, path, level=3)
+        back = physics_scenes.read_compressed_msgpack(path)
+        assert len(back) == 2
+        np.testing.assert_allclose(back[0][b"pos"], 1.0)
+        np.testing.assert_allclose(back[1][b"pos"], 2.0)
+        assert back[0][b"pos"].dtype == np.float32
