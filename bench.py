@@ -32,27 +32,78 @@ N_VIEWS = 1
 
 
 def build_problem():
-    rng = np.random.default_rng(10)
-    # watercube-like scene: blob of fluid inside the [-1,1]^2 x [-1,2.43] box
-    pos = rng.uniform(-0.6, 0.6, size=(N_PARTICLES, 3)).astype(np.float32)
-    pos[:, 2] = rng.uniform(-0.9, 0.3, size=N_PARTICLES).astype(np.float32)
-    vel = (rng.normal(size=(N_PARTICLES, 3)) * 0.1).astype(np.float32)
-    box = rng.uniform(-1.0, 1.0, size=(N_BOX, 3)).astype(np.float32)
-    nrm = rng.normal(size=(N_BOX, 3)).astype(np.float32)
-    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    """Watercube-like scene with REALISTIC structure (round-1 verdict: the
+    random-noise scene both flattered cell-grid locality and over-packed
+    cells vs a physical fluid):
 
-    ro = np.asarray([[0.0, -11.0, 0.7]], np.float32).repeat(N_VIEWS, 0)
-    d = rng.normal(size=(N_VIEWS, N_RAYS, 3)).astype(np.float32) * 0.05
-    d[..., 1] += 1.0  # looking toward the box
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    o = np.broadcast_to(ro[:, None, :], d.shape)
-    rays = np.concatenate([o, d], -1)
+    - fluid: jittered lattice at the DFSPH rest spacing 2 * particle_radius
+      = 0.05 (the reference's generator packs particles the same way,
+      reference create_physics_scenes.py:35-59) -> realistic ~91 particles
+      per 0.225 search cell instead of Poisson-random occupancy,
+    - box: container wall/floor particles with inward normals,
+    - rays: a real pinhole camera at the reference's viewing distance
+      (near 9 / far 13, configs/dataset.yaml), 1024 random pixels of a
+      400x400 image — real ray-bundle geometry, not random directions.
+    """
+    rng = np.random.default_rng(10)
+    # 24 x 24 x 25 lattice at 0.05 spacing = 14400 sites; keep N_PARTICLES
+    xs = (np.arange(24) - 11.5) * 0.05
+    zs = np.arange(25) * 0.05 - 0.9
+    gx, gy, gz = np.meshgrid(xs, xs, zs, indexing="ij")
+    pos = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+    pos += rng.normal(scale=0.004, size=pos.shape).astype(np.float32)
+    pos = pos[rng.permutation(len(pos))[:N_PARTICLES]]
+    vel = (rng.normal(size=(N_PARTICLES, 3)) * 0.1).astype(np.float32)
+
+    # container walls (floor + 4 sides), inward normals
+    side = int(np.sqrt(N_BOX / 5))
+    u = np.linspace(-0.975, 0.975, side, dtype=np.float32)
+    uu, vv = np.meshgrid(u, u, indexing="ij")
+    faces, normals = [], []
+    floor = np.stack([uu, vv, np.full_like(uu, -0.975)], -1).reshape(-1, 3)
+    faces.append(floor)
+    normals.append(np.tile([0, 0, 1.0], (len(floor), 1)))
+    for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        w = np.stack([uu * 0 + 0.975 * -sign, vv, uu * 0.7], -1)
+        if axis == 1:
+            w = w[:, [1, 0, 2]]
+        wall = w.reshape(-1, 3)
+        n = np.zeros(3, np.float32)
+        n[axis] = sign
+        faces.append(wall)
+        normals.append(np.tile(n, (len(wall), 1)))
+    box = np.concatenate(faces)[:N_BOX].astype(np.float32)
+    nrm = np.concatenate(normals)[:N_BOX].astype(np.float32)
+
+    # pinhole camera at the reference viewing distance, random pixel subset
+    cam = np.asarray([0.0, -10.5, 1.0], np.float32)
+    fwd = np.asarray([0.0, 0.0, -0.2], np.float32) - cam
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, [0.0, 0.0, 1.0])
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    w_img, focal = 400, 400 * 2.2  # box spans ~1/5 of the image like the ref
+    ro = np.tile(cam, (N_VIEWS, 1))
+    rays_all = []
+    for _ in range(N_VIEWS):
+        px = rng.integers(0, w_img, N_RAYS)
+        py = rng.integers(0, w_img, N_RAYS)
+        d = (
+            (px[:, None] - w_img / 2) / focal * right[None]
+            + (py[:, None] - w_img / 2) / focal * up[None]
+            + fwd[None]
+        ).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays_all.append(np.concatenate([np.tile(cam, (N_RAYS, 1)), d], -1))
+    rays = np.stack(rays_all)
     rgbs = rng.uniform(size=(N_VIEWS, N_RAYS, 3)).astype(np.float32)
     return pos, vel, box, nrm, ro, rays, rgbs
 
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nf_tpu_jax_cache")
     import jax.numpy as jnp
     import optax
 
@@ -110,9 +161,13 @@ def main():
     median = sorted(times)[len(times) // 2]
     rays_per_sec = N_VIEWS * N_RAYS / median
 
+    # fail-loudly policy: the measured number is only valid if no search
+    # cap silently truncated neighborhoods
+    overflow = bool(out[7]["search_overflow"])
     print(
         f"# device={jax.devices()[0]}, compile={compile_s:.1f}s, "
-        f"step={median * 1e3:.1f}ms, loss={float(out[4]):.5f}",
+        f"step={median * 1e3:.1f}ms, loss={float(out[4]):.5f}, "
+        f"search_overflow={overflow}",
         file=sys.stderr,
     )
     print(

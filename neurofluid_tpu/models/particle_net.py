@@ -95,8 +95,13 @@ class ParticleNet(nn.Module):
     fluid_neighbor_k: int = 64
     obstacle_neighbor_k: int = 48
     search_backend: str = "auto"  # 'brute' | 'grid' | 'auto'
-    grid_lower: tuple = (-1.5, -1.5, -1.5)
-    grid_upper: tuple = (1.5, 1.5, 3.0)
+    # Grid bounds hug the reference's fluid container (x,y in ±0.975,
+    # z in [-0.975, 2.4302] after the z-up rotation) plus slack; particles
+    # escaping the bounds clamp to border cells (rare transients). Tight
+    # bounds matter: the scatter-free table build costs O(num_cells * cap)
+    # gathers, and the old (-1.5..1.5, -1.5..3) cover was 2.5x more cells.
+    grid_lower: tuple = (-1.05, -1.05, -1.05)
+    grid_upper: tuple = (1.05, 1.05, 2.55)
     # cell = r = 0.1125 holds ~11 particles at rest density (0.05 spacing);
     # 32 gives ~3x compression headroom. Overflow past the cap is FLAGGED via
     # the diag output (never silent), at which point the trainer raises.

@@ -68,13 +68,24 @@ class RenderNet(nn.Module):
     nerf_depth: int = 8
     nerf_width: int = 256
     compute_dtype: Any = jnp.float32
+    # 'dense' (default) = fused ball-feature-sums op (ops/ball_features.py;
+    # Pallas kernels on TPU): no neighbor lists, no payload gathers; the
+    # selection is first-K in cell-candidate order (documented deviation that
+    # only matters when count > K; tests pin equivalence at count <= K and
+    # tools/quality_pin_tpu.py pins training quality vs the exact mode).
+    # 'list' = NeighborList pipeline (search -> top-k -> gathers) with exact
+    # pytorch3d first-K-by-index semantics (use with search_selection='sort'
+    # for bit-faithful reference parity).
+    search_mode: str = "dense"
     search_backend: str = "auto"  # 'brute' | 'grid' | 'auto'
     # 'approx' uses the TPU PartialReduce top-k (recall ~0.95) for slot
     # selection; counts and masks stay exact. 'sort' is the exact (and much
     # slower on TPU) pytorch3d-faithful selection.
     search_selection: str = "approx"
-    grid_lower: tuple = (-1.5, -1.5, -1.5)
-    grid_upper: tuple = (1.5, 1.5, 3.0)
+    # container-hugging bounds (see ParticleNet.grid_lower): table build cost
+    # is O(num_cells * cap); out-of-bounds particles clamp to border cells
+    grid_lower: tuple = (-1.05, -1.05, -1.05)
+    grid_upper: tuple = (1.05, 1.05, 2.55)
     grid_max_per_cell: int = 128
     query_chunk: int = 16384
     # Cull ray samples outside the particle AABB (+radius) before the search:
@@ -240,6 +251,28 @@ class RenderNet(nn.Module):
         ) / (w_sum + 1e-12)
         density = w_sum  # (Q, 1)
 
+        if self.encode_var:
+            num_nn_k = num_nn + 1e-12
+            var_axes = []
+            for ax in range(3):
+                vec = jnp.where(nn_mask, nb[ax] - flat_xyz[:, ax, None], 0.0)
+                vec_mean = vec.sum(-1, keepdims=True) / num_nn_k
+                v = jnp.where(nn_mask, (vec - vec_mean) ** 2, 0.0)
+                var_axes.append(v.sum(-1) / num_nn_k[:, 0])
+            var = jnp.stack(var_axes, axis=-1)
+        else:
+            var = None
+
+        return self._encode(
+            flat_xyz, density, smoothed_pos, var, num_nn, count,
+            rays, ro, n_s, sigma_only,
+        )
+
+    def _encode(self, flat_xyz, density, smoothed_pos, var, num_nn, count,
+                rays, ro, n_s, sigma_only):
+        """Positional encodings + masks from the local-geometry quantities
+        (shared by the list and dense search paths)."""
+        n_rays = rays.shape[0]
         if not self.exclude_ray:
             # Alpha-blend of the ray sample position and the weighted
             # neighbor mean (reference models/renderer.py:98-109). The alpha
@@ -264,14 +297,6 @@ class RenderNet(nn.Module):
         if self.encode_smoothed_pos:
             pos_feats.append(positional_encoding(smoothed_pos, self.xyz_freqs))
         if self.encode_var:
-            num_nn_k = num_nn + 1e-12
-            var_axes = []
-            for ax in range(3):
-                vec = jnp.where(nn_mask, nb[ax] - flat_xyz[:, ax, None], 0.0)
-                vec_mean = vec.sum(-1, keepdims=True) / num_nn_k
-                v = jnp.where(nn_mask, (vec - vec_mean) ** 2, 0.0)
-                var_axes.append(v.sum(-1) / num_nn_k[:, 0])
-            var = jnp.stack(var_axes, axis=-1)
             pos_feats.append(positional_encoding(var, self.xyz_freqs))
 
         full_mask = (count >= self.num_neighbors).reshape(n_rays, n_s, 1)
@@ -298,9 +323,35 @@ class RenderNet(nn.Module):
 
     def _features(self, particles, sample_xyz, rays, ro, sigma_only=False,
                   grid=None):
+        if self.search_mode == "dense":
+            return self._features_dense(
+                particles, sample_xyz, rays, ro, sigma_only=sigma_only
+            )
         nbrs, overflow = self.search(sample_xyz, particles, grid=grid)
         feats, num_nn, full_mask = self._local_features(
             particles, sample_xyz, rays, ro, nbrs, sigma_only=sigma_only
+        )
+        return feats, num_nn, full_mask, overflow
+
+    def _features_dense(self, particles, sample_xyz, rays, ro, sigma_only=False):
+        """Fused ball-feature-sums path (ops/ball_features.py): no neighbor
+        lists or payload gathers; position gradients via the op's custom VJP."""
+        from neurofluid_tpu.ops import ball_features as bf
+
+        n_rays, n_s = sample_xyz.shape[:2]
+        flat_xyz = sample_xyz.reshape(-1, 3)
+        sums, overflow = bf.ball_feature_sums(
+            flat_xyz, particles, self.search_radius, self.num_neighbors,
+            self.grid_lower, self.grid_upper,
+            max_per_cell=self.grid_max_per_cell,
+            capacity_frac=self.cull_capacity if self.cull_capacity > 0 else 1.0,
+        )
+        density, smoothed_pos, var, num_nn, count = bf.assemble_features(
+            sums, flat_xyz, self.search_radius, self.num_neighbors
+        )
+        feats, num_nn, full_mask = self._encode(
+            flat_xyz, density, smoothed_pos, var, num_nn, count,
+            rays, ro, n_s, sigma_only,
         )
         return feats, num_nn, full_mask, overflow
 

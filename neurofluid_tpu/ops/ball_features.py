@@ -1,0 +1,633 @@
+"""Fused ball-query feature sums for the particle-driven renderer.
+
+This op replaces the renderer's neighbor-list pipeline (search -> top-k ->
+payload extraction -> per-pair gathers -> masked reductions) with ONE dense
+computation of the 13 per-query FEATURE SUMS the local-geometry features
+need (reference models/renderer.py:96-179):
+
+    0  count      exact number of in-radius particles (strict <, ball_query)
+    1  n_sel      number of SELECTED neighbors (<= k)
+    2  nn_count   selected neighbors with d2 > 0 (the reference's nn_mask)
+    3  w_sum      sum of smoothing weights w = max(1 - (d/r)^3, 0)
+    4-6 wx,wy,wz  sum of w * neighbor_coordinate
+    7-9 v_*       sum over nn_mask of (c - q)
+    10-12 v2_*    sum over nn_mask of (c - q)^2
+
+The renderer's density / smoothed-position / variance features are exact
+functions of these sums plus the analytic origin-padding term (see
+`assemble_features` and models/render_net.py).
+
+SELECTION SEMANTICS — documented deviation: the reference (pytorch3d
+ball_query) keeps the first k in-radius neighbors by GLOBAL PARTICLE INDEX.
+Here selection is first-k in (neighbor-cell, in-cell-slot) candidate order —
+equally deterministic, equally arbitrary (both are index-order subsets of an
+unordered neighborhood), but cheap under static shapes: with candidates laid
+out per cell, the selection rank is a cumulative count (one triangular
+matmul on the MXU) instead of a top-k sort, and NO per-pair index list or
+payload gather exists at all. Whenever count <= k every in-radius neighbor
+is selected and the two semantics coincide exactly (tests pin this). The
+exact pytorch3d path remains available as RenderNet.search_mode='list'.
+
+GRADIENTS: differentiable w.r.t. `points` via a custom VJP (per-pair terms
+recomputed, reduced per (group, candidate-slot), then a monotone segment-sum
++ 27 static shifted adds accumulate per-table-slot cotangents — no scatter,
+no sort over pair lists). `queries` are treated as NON-differentiable (the
+renderer's sample positions are gradient-dead in every trainer: rays are
+inputs and importance-sampled z values are stop-gradient, reference
+utils/ray_utils.py:222-229).
+
+Backends: 'xla' (dense chunked, runs anywhere — the correctness reference)
+and 'pallas' (cell-major TPU kernel, tables VMEM-resident). 'auto' picks
+pallas on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from neurofluid_tpu.ops import neighbor_search as ns
+
+N_SUMS = 13
+N_SUMS_PAD = 16  # _block_sums emits 3 zero pad columns (TPU lane alignment)
+_SENTINEL = 1e9
+
+
+class BallGrouping(NamedTuple):
+    """Cull + cell-sort + fixed-size cell-major grouping of queries.
+
+    order:     (Q,) int32 argsort of the (culled-last) cell keys.
+    inv_rank:  (Q,) int32 rank of each original query in sorted order.
+    qcell:     (capacity,) int32 cell id per kept sorted query (or num_cells).
+    gstart:    (NG + 1,) int32 first-sorted-query index per group.
+    gcell:     (NG,) int32 cell id per group (num_cells for empty groups).
+    rep_idx:   (NG * T,) int32 sorted-query index per repacked slot
+               (capacity for padded slots).
+    capacity:  kept query count (static).
+    n_groups:  NG (static bound).
+    group_size: T (static).
+    cull_overflow: () bool — more in-AABB queries than capacity.
+    """
+
+    order: jax.Array
+    inv_rank: jax.Array
+    qcell: jax.Array
+    gstart: jax.Array
+    gcell: jax.Array
+    rep_idx: jax.Array
+    capacity: int
+    n_groups: int
+    group_size: int
+    cull_overflow: jax.Array
+
+
+def _cell_dims(lower, upper, cell_size):
+    return tuple(
+        int(max(1, math.ceil((float(u) - float(l)) / cell_size)))
+        for l, u in zip(lower, upper)
+    )
+
+
+def group_queries(
+    queries: jax.Array,
+    points: jax.Array,
+    radius: float,
+    lower: tuple,
+    upper: tuple,
+    capacity: int,
+    group_size: int = 32,
+) -> BallGrouping:
+    """Cull to the particle AABB (+radius), sort by (clamped) cell id, and
+    split each cell's run of queries into groups of <= group_size.
+
+    The static group bound is capacity/T + num_cells + 1: each nonempty cell
+    contributes at most one partial group beyond its full ones.
+    """
+    queries = jax.lax.stop_gradient(queries)
+    points = jax.lax.stop_gradient(points)
+    q = queries.shape[0]
+    t = int(group_size)
+    capacity = int(min(max(capacity, t), q))
+    dims = _cell_dims(lower, upper, radius)
+    num_cells = dims[0] * dims[1] * dims[2]
+
+    lo_aabb = points.min(axis=0) - radius
+    hi_aabb = points.max(axis=0) + radius
+    inside = jnp.all((queries >= lo_aabb) & (queries <= hi_aabb), axis=-1)
+    n_inside = jnp.sum(inside.astype(jnp.int32))
+    cull_overflow = n_inside > capacity
+
+    cell3 = jnp.clip(
+        jnp.floor((queries - jnp.asarray(lower, queries.dtype)) / radius)
+        .astype(jnp.int32),
+        0,
+        jnp.asarray(dims, jnp.int32) - 1,
+    )
+    qcell_full = (cell3[:, 0] * dims[1] + cell3[:, 1]) * dims[2] + cell3[:, 2]
+    key = jnp.where(inside, qcell_full, num_cells)
+    # f32 sort keys (fast TPU path); cell ids < 2^24 exact
+    order = jnp.argsort(key.astype(jnp.float32)).astype(jnp.int32)
+    inv_rank = jnp.argsort(order.astype(jnp.float32)).astype(jnp.int32)
+    qcell = key[order][:capacity].astype(jnp.int32)
+
+    starts_cell = jnp.searchsorted(
+        qcell, jnp.arange(num_cells + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = jnp.diff(
+        jnp.concatenate([starts_cell, jnp.asarray([capacity], jnp.int32)])
+    )  # (num_cells + 1,) — last entry = culled/sentinel queries
+    gpc = -(-counts // t)  # groups per cell (ceil)
+    gbase = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gpc)]
+    ).astype(jnp.int32)
+
+    # starts_cell[qcell] is valid for the sentinel cell too (searchsorted
+    # over arange(num_cells + 1) covers it); culled queries get groups like
+    # any cell — their sentinel id keeps them on the all-invalid table row
+    rank_in_cell = jnp.arange(capacity, dtype=jnp.int32) - starts_cell[qcell]
+    group_of_q = gbase[qcell] + rank_in_cell // t
+    ng = capacity // t + num_cells + 2
+    gstart = jnp.searchsorted(
+        group_of_q, jnp.arange(ng + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    gcount = jnp.diff(gstart)
+    safe_first = jnp.minimum(gstart[:-1], capacity - 1)
+    gcell = jnp.where(gcount > 0, qcell[safe_first], num_cells)
+
+    rep = gstart[:-1, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    rep_valid = jnp.arange(t, dtype=jnp.int32)[None, :] < gcount[:, None]
+    rep_idx = jnp.where(rep_valid, rep, capacity).reshape(-1)
+
+    return BallGrouping(
+        order=order, inv_rank=inv_rank, qcell=qcell, gstart=gstart,
+        gcell=gcell.astype(jnp.int32), rep_idx=rep_idx,
+        capacity=capacity, n_groups=ng, group_size=t,
+        cull_overflow=cull_overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# candidate tables (sentinel-coordinate encoding: no separate validity array)
+# ---------------------------------------------------------------------------
+
+
+def build_tables(points, lower, upper, radius, max_per_cell):
+    """CellGrid tables with INVALID slots at coordinate _SENTINEL so the
+    distance test alone rejects them (saves the idx-table gather)."""
+    grid = ns.build_cell_grid(points, lower, upper, radius,
+                              max_per_cell=max_per_cell)
+    invalid = grid.table_idx < 0
+    tx = jnp.where(invalid, _SENTINEL, grid.table_x)
+    ty = jnp.where(invalid, _SENTINEL, grid.table_y)
+    tz = jnp.where(invalid, _SENTINEL, grid.table_z)
+    return grid, tx, ty, tz
+
+
+def _offsets(dims):
+    d1, d2 = dims[1], dims[2]
+    out = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                out.append((ox, oy, oz, ox * d1 * d2 + oy * d2 + oz))
+    return out
+
+
+def _neighbor_rows(gcell, dims):
+    """(..., 27) table-row ids for a cell id array; out-of-grid and sentinel
+    cells map to the all-invalid sentinel row (= num_cells)."""
+    num_cells = dims[0] * dims[1] * dims[2]
+    cz = gcell % dims[2]
+    cy = (gcell // dims[2]) % dims[1]
+    cx = gcell // (dims[1] * dims[2])
+    rows = []
+    for ox, oy, oz, delta in _offsets(dims):
+        ok = (
+            (gcell < num_cells)
+            & (cx + ox >= 0) & (cx + ox < dims[0])
+            & (cy + oy >= 0) & (cy + oy < dims[1])
+            & (cz + oz >= 0) & (cz + oz < dims[2])
+        )
+        rows.append(jnp.where(ok, gcell + delta, num_cells))
+    return jnp.stack(rows, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# per-block math (shared by the XLA reference and the Pallas kernels)
+# ---------------------------------------------------------------------------
+
+
+def _block_sums(qx, qy, qz, rows_x, rows_y, rows_z, radius: float, k: int):
+    """Feature sums for one block.
+
+    qx/qy/qz: (T, 1) query coordinate columns; rows_*: lists of 27 (1, cap)
+    candidate coordinate rows (sentinel at invalid slots).
+    Returns (T, N_SUMS_PAD) f32 — the last 3 columns are identically zero
+    (padding so Pallas blocks read/write full tiles without lane slicing).
+
+    Selection = first-k in (cell, slot) candidate order: per-cell slot rank
+    via one (T,cap)x(cap,cap) triangular matmul (MXU) + a running cross-cell
+    offset — the rule this module documents.
+
+    Shared verbatim by the XLA reference backend AND the Pallas TPU kernels:
+    everything is strictly 2-D (T, cap) work in a 27-iteration unrolled loop
+    (Mosaic cannot lower 1-D values, lane slicing, or 3-D reshapes).
+    """
+    t = qx.shape[0]
+    cap = rows_x[0].shape[-1]
+    f32 = jnp.float32
+    r2 = radius * radius
+    k_f = float(k)
+    triu = jnp.triu(jnp.ones((cap, cap), f32))  # rank[j] = sum_{i<=j} w[i]
+
+    acc = [jnp.zeros((t, 1), f32) for _ in range(N_SUMS_PAD)]
+    off = jnp.zeros((t, 1), f32)
+    for o in range(27):
+        dx = rows_x[o] - qx  # (T, cap)
+        dy = rows_y[o] - qy
+        dz = rows_z[o] - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        within = d2 < r2  # strict: pytorch3d ball_query convention
+        wf = within.astype(f32)
+        rank = jax.lax.dot_general(
+            wf, triu, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        cnt = rank[:, cap - 1 : cap]
+        sel = within & ((off + rank) <= k_f)
+        off = off + cnt
+        sf = sel.astype(f32)
+        nn = sf * (d2 > 0.0)
+        d = jnp.sqrt(jnp.maximum(d2, 1e-24))
+        w = jnp.maximum(1.0 - (d / radius) ** 3, 0.0) * sf
+
+        def rsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        for i, val in enumerate(
+            (
+                wf, sf, nn, w,
+                w * rows_x[o], w * rows_y[o], w * rows_z[o],
+                nn * dx, nn * dy, nn * dz,
+                nn * dx * dx, nn * dy * dy, nn * dz * dz,
+            )
+        ):
+            acc[i] = acc[i] + rsum(val)
+
+    return jnp.concatenate(acc, axis=1)
+
+
+def _block_sums_vec(q, cx, cy, cz, radius: float, k: int):
+    """Vectorized twin of `_block_sums` for the XLA backend.
+
+    q (T, 3); cx/cy/cz (27, cap). Identical math (the rank matmul makes the
+    same first-k-in-candidate-order selection), but batched over the 27 cells
+    in one (T, 27, cap) pass — XLA compiles this ~10x faster than the
+    27-iteration unrolled loop the Mosaic kernels need.
+    tests/test_ball_features.py pins the two equal.
+    """
+    t = q.shape[0]
+    n_off, cap = cx.shape
+    f32 = jnp.float32
+
+    dx = cx[None, :, :] - q[:, 0:1, None]
+    dy = cy[None, :, :] - q[:, 1:2, None]
+    dz = cz[None, :, :] - q[:, 2:3, None]
+    d2 = dx * dx + dy * dy + dz * dz  # (T, 27, cap)
+    within = d2 < radius * radius
+    wf = within.astype(f32)
+
+    tri_inc = jnp.triu(jnp.ones((cap, cap), f32))  # rank[j] = sum_{i<=j}
+    rank = jax.lax.dot_general(
+        wf.reshape(t * n_off, cap), tri_inc,
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ).reshape(t, n_off, cap)
+    cnt = rank[:, :, cap - 1]
+    tri_exc = jnp.triu(jnp.ones((n_off, n_off), f32), k=1)
+    off = jax.lax.dot_general(
+        cnt, tri_exc, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    sel = within & ((off[:, :, None] + rank) <= float(k))
+    sf = sel.astype(f32)
+    nn = sf * (d2 > 0.0)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    w = jnp.maximum(1.0 - (d / radius) ** 3, 0.0) * sf
+
+    def rsum(x):
+        return jnp.sum(x, axis=(1, 2))
+
+    cols = [
+        rsum(wf), rsum(sf), rsum(nn), rsum(w),
+        rsum(w * cx[None]), rsum(w * cy[None]), rsum(w * cz[None]),
+        rsum(nn * dx), rsum(nn * dy), rsum(nn * dz),
+        rsum(nn * dx * dx), rsum(nn * dy * dy), rsum(nn * dz * dz),
+    ]
+    out = jnp.stack(cols, axis=-1)
+    return jnp.pad(out, ((0, 0), (0, N_SUMS_PAD - N_SUMS)))
+
+
+# ---------------------------------------------------------------------------
+# XLA reference backend (runs anywhere; the Pallas kernels must match it)
+# ---------------------------------------------------------------------------
+
+
+def _xla_sums(q_rep, tx, ty, tz, gcell, dims, radius, k, chunk_groups=64):
+    """q_rep (NG*T, 3) repacked queries -> (NG*T, N_SUMS)."""
+    ng = gcell.shape[0]
+    t = q_rep.shape[0] // ng
+    rows = _neighbor_rows(gcell, dims)  # (NG, 27)
+
+    def fn(args):
+        qc, rc = args  # (G, T, 3), (G, 27)
+        g = qc.shape[0]
+        cx = tx[rc]  # (G, 27, cap)
+        cy = ty[rc]
+        cz = tz[rc]
+        return jax.vmap(
+            lambda qb, a, b, c: _block_sums_vec(qb, a, b, c, radius, k)
+        )(qc, cx, cy, cz)
+
+    pad = (-ng) % chunk_groups
+    qg = jnp.pad(q_rep.reshape(ng, t, 3), ((0, pad), (0, 0), (0, 0)))
+    rg = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=tx.shape[0] - 1)
+    n_chunks = (ng + pad) // chunk_groups
+    qg = qg.reshape(n_chunks, chunk_groups, t, 3)
+    rg = rg.reshape(n_chunks, chunk_groups, 27)
+    out = jax.lax.map(fn, (qg, rg))
+    return out.reshape(-1, N_SUMS_PAD)[: ng * t, :N_SUMS]
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def ball_feature_sums(
+    queries: jax.Array,
+    points: jax.Array,
+    radius: float,
+    k: int,
+    lower: tuple,
+    upper: tuple,
+    max_per_cell: int = 128,
+    capacity_frac: float = 0.625,
+    group_size: int = 32,
+    backend: str = "auto",
+):
+    """Per-query feature sums (Q, N_SUMS) + overflow flag. See module docs.
+
+    Differentiable w.r.t. `points`; `queries` are stop-gradient by contract.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    q = queries.shape[0]
+    capacity = int(-(-int(q * capacity_frac) // 256) * 256)
+    static = dict(
+        radius=float(radius), k=int(k), lower=tuple(lower), upper=tuple(upper),
+        max_per_cell=int(max_per_cell), capacity=capacity,
+        group_size=int(group_size), backend=backend,
+    )
+    return _ball_feature_sums(
+        jax.lax.stop_gradient(queries), points,
+        **{k_: v for k_, v in static.items()},
+    )
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnames=(
+        "radius", "k", "lower", "upper", "max_per_cell", "capacity",
+        "group_size", "backend",
+    ),
+)
+def _ball_feature_sums(queries, points, radius, k, lower, upper, max_per_cell,
+                       capacity, group_size, backend):
+    out, _res = _forward(queries, points, radius, k, lower, upper,
+                         max_per_cell, capacity, group_size, backend)
+    return out
+
+
+def _forward(queries, points, radius, k, lower, upper, max_per_cell,
+             capacity, group_size, backend):
+    grouping = group_queries(queries, points, radius, lower, upper,
+                             capacity, group_size)
+    grid, tx, ty, tz = build_tables(points, lower, upper, radius, max_per_cell)
+    dims = _cell_dims(lower, upper, radius)
+    t = grouping.group_size
+
+    q_sorted = queries[grouping.order[:capacity]]
+    q_pad = jnp.concatenate(
+        [q_sorted, jnp.full((1, 3), _SENTINEL, queries.dtype)], axis=0
+    )
+    q_rep = q_pad[grouping.rep_idx]  # (NG*T, 3)
+
+    if backend == "pallas":
+        from neurofluid_tpu.ops import pallas_features
+
+        sums_rep = pallas_features.forward(
+            q_rep, tx, ty, tz, grouping.gcell, dims, radius, k, t
+        )
+    else:
+        sums_rep = _xla_sums(q_rep, tx, ty, tz, grouping.gcell, dims, radius, k)
+
+    # repacked slots -> original query order: query at original index i sits
+    # in sorted position r = inv_rank[i]; its repacked slot is
+    # group_of(r) * T + (r - gstart[group_of(r)]). Invert cheaply: build the
+    # sorted->slot map from rep_idx (scatter-free: rep_idx is a permutation
+    # of [0, capacity) plus pads, so argsort recovers it).
+    slot_of_sorted = jnp.argsort(
+        jnp.where(
+            grouping.rep_idx >= capacity, jnp.inf,
+            grouping.rep_idx.astype(jnp.float32),
+        )
+    ).astype(jnp.int32)[:capacity]
+    r = grouping.inv_rank  # (Q,)
+    in_kept = r < capacity
+    slot = slot_of_sorted[jnp.minimum(r, capacity - 1)]
+    sums = jnp.where(in_kept[:, None], sums_rep[slot], 0.0)
+
+    overflow = jnp.logical_or(grid.overflow, grouping.cull_overflow)
+    residuals = (grouping, tx, ty, tz, q_rep, points)
+    return (sums, overflow), residuals
+
+
+def _ball_fwd(queries, points, radius, k, lower, upper, max_per_cell,
+              capacity, group_size, backend):
+    out, res = _forward(queries, points, radius, k, lower, upper,
+                        max_per_cell, capacity, group_size, backend)
+    return out, res
+
+
+def _ball_bwd(radius, k, lower, upper, max_per_cell, capacity, group_size,
+              backend, res, cot):
+    grouping, tx, ty, tz, q_rep, points = res
+    cot_sums, _cot_overflow = cot
+    dims = _cell_dims(lower, upper, radius)
+    num_cells = dims[0] * dims[1] * dims[2]
+    t = grouping.group_size
+    cap = tx.shape[1]
+
+    # original-order cotangents -> repacked slots (reverse the forward's
+    # final gather): slot s holds sorted query rep_idx[s] = original
+    # order[rep_idx[s]]; pads read zero.
+    order_kept = grouping.order[:capacity]
+    pad_row = jnp.zeros((1, cot_sums.shape[1]), cot_sums.dtype)
+    cot_sorted = jnp.concatenate([cot_sums[order_kept], pad_row], axis=0)
+    cot_rep = cot_sorted[jnp.minimum(grouping.rep_idx, capacity)]
+    cot_rep = jnp.where(
+        (grouping.rep_idx < capacity)[:, None], cot_rep, 0.0
+    )  # (NG*T, N_SUMS)
+
+    if backend == "pallas":
+        from neurofluid_tpu.ops import pallas_features
+
+        gtab = pallas_features.backward(
+            q_rep, cot_rep, tx, ty, tz, grouping.gcell, dims, radius, k, t
+        )  # (NG, 27, cap, 3) per-group-reduced table cotangents
+    else:
+        gtab = _xla_backward_groups(
+            q_rep, cot_rep, tx, ty, tz, grouping.gcell, dims, radius, k
+        )
+
+    ng = grouping.gcell.shape[0]
+    # groups are sorted by cell id (sentinel last): segment-sum over groups
+    # per cell via cumsum + boundary gather (monotone ids, no sort)
+    flat = gtab.reshape(ng, 27 * cap * 3).astype(jnp.float32)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, flat.shape[1]), jnp.float32), jnp.cumsum(flat, axis=0)]
+    )
+    cell_starts = jnp.searchsorted(
+        grouping.gcell, jnp.arange(num_cells + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    per_cell = (csum[cell_starts[1:]] - csum[cell_starts[:-1]]).reshape(
+        num_cells, 27, cap, 3
+    )
+
+    # accumulate into table rows: query-cell g contributes its o-th block to
+    # row g + delta_o — a STATIC shift per offset (queries sorted by cell);
+    # out-of-grid (g, o) pairs were masked to the sentinel row in the
+    # forward, so their cotangents are exactly zero and shifts can't bleed.
+    pad_n = dims[1] * dims[2] + dims[2] + 1
+    acc = jnp.zeros((num_cells + 2 * pad_n, cap, 3), jnp.float32)
+    for o, (_ox, _oy, _oz, delta) in enumerate(_offsets(dims)):
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(
+                acc, (pad_n + delta, 0, 0), (num_cells, cap, 3)
+            )
+            + per_cell[:, o],
+            (pad_n + delta, 0, 0),
+        )
+    cot_table = acc[pad_n : pad_n + num_cells]  # (num_cells, cap, 3)
+
+    # table slot (cell, slot) -> original particle: recompute the build
+    # permutation (tiny: N ~ 1e4)
+    pts_ng = jax.lax.stop_gradient(points)
+    cell3 = jnp.clip(
+        jnp.floor((pts_ng - jnp.asarray(lower, pts_ng.dtype)) / radius)
+        .astype(jnp.int32),
+        0,
+        jnp.asarray(dims, jnp.int32) - 1,
+    )
+    pcell = (cell3[:, 0] * dims[1] + cell3[:, 1]) * dims[2] + cell3[:, 2]
+    order_p = jnp.argsort(pcell.astype(jnp.float32)).astype(jnp.int32)
+    starts_p = jnp.searchsorted(
+        pcell[order_p], jnp.arange(num_cells + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    pos_sorted = jnp.argsort(order_p.astype(jnp.float32)).astype(jnp.int32)
+    slot_p = pos_sorted - starts_p[pcell]
+    in_table = slot_p < cap
+    flat_tab = cot_table.reshape(num_cells * cap, 3)
+    d_points = jnp.where(
+        in_table[:, None],
+        flat_tab[jnp.minimum(pcell * cap + slot_p, num_cells * cap - 1)],
+        0.0,
+    ).astype(points.dtype)
+
+    # queries are non-differentiable by contract (stop_gradient applied in
+    # ball_feature_sums; renderer sample positions are gradient-dead)
+    d_queries = jnp.zeros((grouping.order.shape[0], 3), points.dtype)
+    return d_queries, d_points
+
+
+def _xla_backward_groups(q_rep, cot_rep, tx, ty, tz, gcell, dims, radius, k,
+                         chunk_groups=64):
+    """Reference backward: per-group-reduced table cotangents (NG,27,cap,3).
+
+    Recomputes the per-pair terms and differentiates them w.r.t. the gathered
+    candidate coordinate blocks via jax.vjp, then reduces over the group's
+    queries — the same contraction the Pallas backward kernel performs.
+    """
+    ng = gcell.shape[0]
+    t = q_rep.shape[0] // ng
+    cap = tx.shape[1]
+    rows = _neighbor_rows(gcell, dims)
+
+    def fn(args):
+        qc, rc, cc = args  # (G,T,3), (G,27), (G,T,N_SUMS)
+        cx = tx[rc]
+        cy = ty[rc]
+        cz = tz[rc]
+
+        def one(qb, a, b, c, ct):
+            ct = jnp.pad(ct, ((0, 0), (0, N_SUMS_PAD - N_SUMS)))
+
+            def f(aa, bb, cc_):
+                return _block_sums_vec(qb, aa, bb, cc_, radius, k)
+            _, vjp = jax.vjp(f, a, b, c)
+            da, db, dc = vjp(ct)
+            return jnp.stack([da, db, dc], axis=-1)  # (27, cap, 3)
+
+        return jax.vmap(one)(qc, cx, cy, cz, cc)
+
+    pad = (-ng) % chunk_groups
+    qg = jnp.pad(q_rep.reshape(ng, t, 3), ((0, pad), (0, 0), (0, 0)))
+    rg = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=tx.shape[0] - 1)
+    cg = jnp.pad(cot_rep.reshape(ng, t, N_SUMS), ((0, pad), (0, 0), (0, 0)))
+    n_chunks = (ng + pad) // chunk_groups
+    out = jax.lax.map(
+        fn,
+        (
+            qg.reshape(n_chunks, chunk_groups, t, 3),
+            rg.reshape(n_chunks, chunk_groups, 27),
+            cg.reshape(n_chunks, chunk_groups, t, N_SUMS),
+        ),
+    )
+    return out.reshape(-1, 27, cap, 3)[:ng]
+
+
+_ball_feature_sums.defvjp(_ball_fwd, _ball_bwd)
+
+
+# ---------------------------------------------------------------------------
+# feature assembly (the sums -> reference feature values contract)
+# ---------------------------------------------------------------------------
+
+
+def assemble_features(sums, flat_xyz, radius: float, k: int):
+    """(density, smoothed_pos, var, num_nn, count) from the 13 sums, exactly
+    matching the NeighborList-path math in RenderNet._local_features
+    (including the masked-gather origin-padding artifact: each of the
+    k - n_sel empty slots contributes w0 = max(1 - (|q|/r)^3, 0) to the
+    density and nothing to the smoothed-position numerator)."""
+    count = sums[:, 0]
+    n_sel = sums[:, 1]
+    nn_count = sums[:, 2]
+    w_sum = sums[:, 3]
+    wx = sums[:, 4:7]
+    v = sums[:, 7:10]
+    v2 = sums[:, 10:13]
+
+    num_nn = jnp.minimum(count, float(k))[:, None]
+    q_norm = jnp.sqrt(jnp.maximum(jnp.sum(flat_xyz**2, axis=-1), 1e-24))
+    w0 = jnp.maximum(1.0 - (q_norm / radius) ** 3, 0.0)
+    density = (w_sum + (float(k) - n_sel) * w0)[:, None]
+    smoothed_pos = wx / (density + 1e-12)
+
+    num_nn_k = num_nn + 1e-12
+    vec_mean = v / num_nn_k
+    var = (v2 - 2.0 * vec_mean * v + nn_count[:, None] * vec_mean**2) / num_nn_k
+    return density, smoothed_pos, var, num_nn, count

@@ -54,6 +54,7 @@ def build_renderer(cfg) -> RenderNet:
         compute_dtype=jnp.bfloat16 if r.get("bf16", False) else jnp.float32,
         search_backend=r.NN_search.get("backend", "auto"),
         search_selection=r.NN_search.get("selection", "approx"),
+        search_mode=r.NN_search.get("mode", "dense"),
     )
 
 

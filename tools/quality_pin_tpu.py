@@ -19,7 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(selection: str, root: str, iters: int):
+def run(selection: str, mode: str, root: str, iters: int):
     from neurofluid_tpu.data.synthetic import generate_blender_scene
     from neurofluid_tpu.train.warmup import WarmupTrainer
     from neurofluid_tpu.utils.config import ConfigNode
@@ -33,7 +33,7 @@ def run(selection: str, root: str, iters: int):
         )
 
     cfg = ConfigNode(dict(
-        expdir=os.path.join(root, "exps"), expname=f"pin_{selection}",
+        expdir=os.path.join(root, "exps"), expname=f"pin_{mode}_{selection}",
         resume_from="",
         TRAIN=dict(seed=10, N_iters=iters, precrop_iters=0, save_interval=10**6,
                    log_interval=50, imgW=128, imgH=128, scale=1.0,
@@ -44,7 +44,7 @@ def run(selection: str, root: str, iters: int):
             ray=dict(ray_chunk=1024, N_importance=32, N_samples=32),
             NN_search=dict(fix_radius=True, particle_radius=0.025,
                            search_radius_scale=9.0, N_neighbor=20,
-                           backend="grid", selection=selection),
+                           backend="grid", selection=selection, mode=mode),
             encoding=dict(density=True, var=True, smoothed_pos=True,
                           smoothed_dir=True, exclude_ray=True,
                           same_smooth_factor=False),
@@ -75,12 +75,16 @@ def main():
     os.makedirs(args.root, exist_ok=True)
 
     out = {}
-    for sel in ("approx", "sort"):
-        loss, psnr = run(sel, args.root, args.iters)
-        out[sel] = {"final_loss": loss, "eval_psnr_fine": psnr}
-        print(f"{sel}: loss={loss:.6f} psnr={psnr:.2f}", flush=True)
-    d = out["approx"]["eval_psnr_fine"] - out["sort"]["eval_psnr_fine"]
-    out["psnr_delta_approx_minus_sort"] = d
+    # fast default (fused dense op) vs exact pytorch3d-faithful reference,
+    # plus the approx-vs-sort pin within the list pipeline
+    for sel, mode in (("approx", "dense"), ("approx", "list"), ("sort", "list")):
+        key = f"{mode}_{sel}"
+        loss, psnr = run(sel, mode, args.root, args.iters)
+        out[key] = {"final_loss": loss, "eval_psnr_fine": psnr}
+        print(f"{key}: loss={loss:.6f} psnr={psnr:.2f}", flush=True)
+    ref = out["list_sort"]["eval_psnr_fine"]
+    out["psnr_delta_dense_vs_exact"] = out["dense_approx"]["eval_psnr_fine"] - ref
+    out["psnr_delta_approx_vs_exact"] = out["list_approx"]["eval_psnr_fine"] - ref
     print(json.dumps(out))
 
 
