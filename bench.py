@@ -7,12 +7,14 @@ coarse/fine particle-NeRF render + joint backward + both Adam updates —
 i.e. what reference trainer_e2e.py:202-302 does per step, but as one fused
 jitted program on TPU.
 
-Baseline: the reference never measured throughput (BASELINE.md). The
-`vs_baseline` denominator is a documented ESTIMATE of the PyTorch reference
-on A100: ~5,000 rays/s for the full train step (1024-ray chunks through
-pytorch3d ball_query + two 8x256 MLP passes on 65k/196k samples, plus the
-Python chunk loop and optimizer overhead). Update when a measured reference
-number exists.
+Baseline: the reference never measured throughput (BASELINE.md) and its
+CUDA stack cannot run in this environment, so `vs_baseline` divides by a
+DERIVED A100 estimate: a per-component FLOP/bandwidth model of the
+reference step (NeRF MLPs ~1.9 TFLOP fwd+bwd at TF32, ball_query, CConv,
+feature pipeline, host overhead) bounds it at 55-95 ms/step, de-rated to
+3,500-8,000 rays/s by the measured efficiency of nerf_pl-class chunked
+pytorch training; 5,000 rays/s is the central estimate. Full derivation
+with the component table: BASELINE.md "Reference throughput model".
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -323,3 +323,78 @@ class TestTransitionTrainer:
         assert np.isfinite(loss)
         avg = tr.eval(1, save_obj=False)
         assert np.isfinite(avg)
+
+
+class TestResumeScheduleOffset:
+    def test_warmup_resume_continues_lr_schedule(self, tiny_scene, tmp_path):
+        """Round-1 weak item: resume-at-step -> schedule-offset interaction.
+
+        The warmup optimizer's exponential decay is driven by the optax
+        step count inside the restored optimizer state; after resume the
+        effective LR must continue from the saved step, not restart
+        (reference trainer_renderer.py restores the optimizer for the same
+        reason). The e2e stage deliberately does NOT restore optimizer
+        state (reference trainer_e2e.py:145-149) so its schedules restart —
+        also pinned here."""
+        from neurofluid_tpu.utils.config import ConfigNode
+        from neurofluid_tpu.train.warmup import WarmupTrainer
+
+        cfg = ConfigNode(
+            dict(
+                expdir=str(tmp_path), expname="warmup_res", resume_from="",
+                TRAIN=dict(seed=10, N_iters=4, precrop_iters=0, save_interval=1000,
+                           log_interval=100, imgW=24, imgH=24, scale=1.0,
+                           LR=dict(lr=5e-3, use_scheduler=True, decay_epochs=10),
+                           pretrained_renderer="", partial_load=False),
+                TEST=dict(imgW=24, imgH=24, scale=1.0, start_index=0, end_index=4),
+                RENDERER=_tiny_renderer_cfg(),
+                **_scene_cfg(tiny_scene),
+            )
+        )
+        tr = WarmupTrainer(cfg)
+        tr.train(n_iters=4)
+        tr.save_checkpoint(3)
+
+        def opt_count(state):
+            import optax
+            leaves = [
+                l for l in jax.tree_util.tree_leaves(state)
+                if getattr(l, "dtype", None) is not None and l.dtype == np.int32
+                and l.ndim == 0
+            ]
+            return max(int(l) for l in leaves)
+
+        cfg2 = cfg.clone()
+        cfg2.resume_from = tr.modelpath
+        tr2 = WarmupTrainer(cfg2)
+        assert tr2.start_step == 4
+        # the restored optimizer count equals the completed steps, so the
+        # exponential schedule resumes mid-decay instead of restarting
+        assert opt_count(tr2.opt_state) == opt_count(tr.opt_state) == 4
+
+        # e2e contract: resume restores weights only -> fresh opt state
+        from neurofluid_tpu.train.e2e import E2ETrainer
+
+        cfg3 = ConfigNode(
+            dict(
+                expdir=str(tmp_path), expname="e2e_res", resume_from="",
+                TRAIN=dict(seed=10, epochs=1, precrop_iters=0, save_interval=10000,
+                           log_interval=100, imgW=24, imgH=24, scale=1.0,
+                           grad_clip_value=0,
+                           LR=dict(trans_lr=1e-5, renderer_lr=3e-4, use_scheduler=True),
+                           loss_weight=dict(boundary_loss=1.0),
+                           pretrained_renderer="", pretrained_transition_model="",
+                           partial_load=False, search_backend="brute"),
+                TEST=dict(imgW=24, imgH=24, scale=1.0, start_index=0, end_index=4),
+                RENDERER=_tiny_renderer_cfg(),
+                **_scene_cfg(tiny_scene),
+            )
+        )
+        te = E2ETrainer(cfg3)
+        te.train(n_epochs=1, eval_during_training=False)
+        te.save_checkpoint(3)
+        cfg4 = cfg3.clone()
+        cfg4.resume_from = te.modelpath
+        te2 = E2ETrainer(cfg4)
+        assert te2.start_step == 4
+        assert opt_count(te2.opt_r_state) == 0  # fresh (reference quirk)
