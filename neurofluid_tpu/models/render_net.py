@@ -147,13 +147,20 @@ class RenderNet(nn.Module):
     # search + local geometry features
     # ------------------------------------------------------------------
 
-    def search(self, sample_xyz: jax.Array, particles: jax.Array, grid=None):
+    def search(self, sample_xyz: jax.Array, particles: jax.Array, grid=None,
+               cull: bool = True):
         """Ball query around flattened sample points (Q=(R*S), K) with
         pytorch3d semantics (reference models/renderer.py:112-122).
 
         `grid` is an optional prebuilt `CellGrid` over `particles` — the
         coarse and fine passes search the SAME particle set, so the caller
         builds the grid once per forward and shares it.
+
+        `cull` applies the AABB capacity cull (cull_capacity). It must be
+        False for the FINE pass: importance samples concentrate inside the
+        fluid as training converges, so a 0.625 capacity that is ample for
+        the uniformly-spread coarse samples eventually overflows (which the
+        fail-loudly policy correctly turned into a hard error mid-training).
 
         Returns (NeighborList, grid_overflow). grid_overflow=True means some
         grid cell held more than `grid_max_per_cell` particles and tail
@@ -168,7 +175,7 @@ class RenderNet(nn.Module):
         if backend == "grid":
             if grid is None:
                 grid = self.build_grid(particles)
-            if self.cull_capacity > 0:
+            if cull and self.cull_capacity > 0:
                 capacity = int(-(-flat.shape[0] * self.cull_capacity // 256) * 256)
                 result, overflow = ns.radius_search_grid_culled(
                     flat, grid, radius, self.num_neighbors,
@@ -322,20 +329,23 @@ class RenderNet(nn.Module):
     # ------------------------------------------------------------------
 
     def _features(self, particles, sample_xyz, rays, ro, sigma_only=False,
-                  grid=None):
+                  grid=None, cull=True):
         if self.search_mode == "dense":
             return self._features_dense(
-                particles, sample_xyz, rays, ro, sigma_only=sigma_only
+                particles, sample_xyz, rays, ro, sigma_only=sigma_only,
+                cull=cull,
             )
-        nbrs, overflow = self.search(sample_xyz, particles, grid=grid)
+        nbrs, overflow = self.search(sample_xyz, particles, grid=grid, cull=cull)
         feats, num_nn, full_mask = self._local_features(
             particles, sample_xyz, rays, ro, nbrs, sigma_only=sigma_only
         )
         return feats, num_nn, full_mask, overflow
 
-    def _features_dense(self, particles, sample_xyz, rays, ro, sigma_only=False):
+    def _features_dense(self, particles, sample_xyz, rays, ro, sigma_only=False,
+                        cull=True):
         """Fused ball-feature-sums path (ops/ball_features.py): no neighbor
-        lists or payload gathers; position gradients via the op's custom VJP."""
+        lists or payload gathers; position gradients via the op's custom VJP.
+        `cull` as in `search` (False for the fine pass)."""
         from neurofluid_tpu.ops import ball_features as bf
 
         n_rays, n_s = sample_xyz.shape[:2]
@@ -344,7 +354,9 @@ class RenderNet(nn.Module):
             flat_xyz, particles, self.search_radius, self.num_neighbors,
             self.grid_lower, self.grid_upper,
             max_per_cell=self.grid_max_per_cell,
-            capacity_frac=self.cull_capacity if self.cull_capacity > 0 else 1.0,
+            capacity_frac=(
+                self.cull_capacity if (cull and self.cull_capacity > 0) else 1.0
+            ),
         )
         density, smoothed_pos, var, num_nn, count = bf.assemble_features(
             sums, flat_xyz, self.search_radius, self.num_neighbors
@@ -356,9 +368,10 @@ class RenderNet(nn.Module):
         return feats, num_nn, full_mask, overflow
 
     def _run_nerf(self, mlp, particles, sample_xyz, rays, ro, sigma_only=False,
-                  grid=None):
+                  grid=None, cull=True):
         feats, num_nn, full_mask, overflow = self._features(
-            particles, sample_xyz, rays, ro, sigma_only=sigma_only, grid=grid
+            particles, sample_xyz, rays, ro, sigma_only=sigma_only, grid=grid,
+            cull=cull,
         )
         out = mlp(feats, sigma_only=sigma_only)
         n_rays, n_s = sample_xyz.shape[:2]
@@ -427,7 +440,7 @@ class RenderNet(nn.Module):
             xyz_new = rays[:, None, :3] + rays[:, None, 3:] * z_new[..., None]
 
             feats_new, num_nn_new, mask_new, overflow_new = self._features(
-                particles, xyz_new, rays, ro, grid=grid
+                particles, xyz_new, rays, ro, grid=grid, cull=False
             )
             results["overflow"] = jnp.logical_or(overflow0, overflow_new)
             c = feats0.shape[-1]
@@ -516,7 +529,7 @@ class RenderNet(nn.Module):
             det=(perturb == 0), key=keys[2]
         )
         rgbsigma1, num_nn1, mask1, overflow1 = self._run_nerf(
-            self.nerf_fine, particles, xyz1, rays, ro, grid=grid
+            self.nerf_fine, particles, xyz1, rays, ro, grid=grid, cull=False
         )
         rgb1, depth1, weights1 = ray_ops.composite(
             rgbsigma1, z1, rays, noise_std, white_background
