@@ -208,14 +208,18 @@ def _cconv_apply_chunk(chunk, filters: jax.Array, num_taps: int):
     """One query chunk: corner (C,K,8), tapw (C,K,8), feats (C,K,Cin)
     -> out (C, Cout)."""
     corner, tapw, feats_nb = chunk
-    onehot = jax.nn.one_hot(corner, num_taps, dtype=feats_nb.dtype)  # (C,K,8,T)
+    # tap weights accumulated over the 8 trilinear corners WITHOUT ever
+    # materializing the (C, K, 8, T) one-hot tensor — at reference particle
+    # counts that tensor (stacked across lax.map chunks for the backward)
+    # was the single largest allocation of the transition train step (2 GB
+    # unpadded, 4 GB padded) and blew v5e HBM in the 2-step-rollout trainer
+    tw = jnp.zeros(corner.shape[:2] + (num_taps,), feats_nb.dtype)  # (C,K,T)
+    for j in range(corner.shape[-1]):
+        oh = jax.nn.one_hot(corner[:, :, j], num_taps, dtype=feats_nb.dtype)
+        tw = tw + oh * tapw[:, :, j][..., None]
     # precision=HIGHEST keeps the contraction inputs in full f32: the default
     # (bf16 operands on the MXU) loses ~1e-3 on the physics features, which is
     # too coarse for the position-gradient path the simulator depends on.
-    tw = jnp.einsum(
-        "qkj,qkjt->qkt", tapw, onehot,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (C,K,T)
     basis = jnp.einsum(
         "qkt,qkc->qtc", tw, feats_nb, precision=jax.lax.Precision.HIGHEST
     )  # (C,T,Cin)
@@ -264,9 +268,13 @@ def continuous_conv_apply(
     n_chunks = max(1, -(-q // chunk))
     pad = n_chunks * chunk - q
 
-    fn = functools.partial(
+    # remat each chunk: lax.map otherwise STACKS every chunk's conv
+    # intermediates as backward residuals (n_chunks x the per-chunk
+    # footprint); recomputing the cheap contraction in the backward keeps
+    # the peak at one chunk
+    fn = jax.checkpoint(functools.partial(
         _cconv_apply_chunk, filters=filters_flat, num_taps=num_taps
-    )
+    ))
     if n_chunks == 1:
         return fn((corner, tapw, nb_feats))
 

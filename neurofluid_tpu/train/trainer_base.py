@@ -82,9 +82,13 @@ class TrainerBase:
         """Ray-chunk size for full-image eval renders. The training chunk
         (RENDERER.ray.ray_chunk = 1024, mirroring the reference) is far too
         small to amortize dispatch; eval uses a larger chunk unless
-        RENDERER.ray.eval_ray_chunk overrides it."""
+        RENDERER.ray.eval_ray_chunk overrides it. 2048 is the largest chunk
+        that reliably compiles at the reference working point: 8192 exceeds
+        v5e HBM (the encodings' lane-padded minor-dim-3 intermediates) and
+        4096 tripped a TPU LLO register-allocator RET_CHECK in the eval
+        render program."""
         ray = self.cfg.RENDERER.ray
-        return int(ray.get("eval_ray_chunk", max(int(ray.ray_chunk), 8192)))
+        return int(ray.get("eval_ray_chunk", max(int(ray.ray_chunk), 2048)))
 
     # ------------------------------------------------------------------
     # pixel sampling (reference basetrainer.py:171-193 + trainer loops)

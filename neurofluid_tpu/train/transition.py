@@ -129,13 +129,20 @@ class TransitionTrainer(TrainerBase):
             # augmentation happens per sample, outside): one grid build
             box_grid = net.make_grid(box) if net.search_backend != "brute" else None
 
+            # rematerialize each transition step: keeping BOTH steps' CConv
+            # residuals (the one-hot tap expansions dominate) alive for the
+            # backward exceeds v5e HBM at reference particle counts (~26 GB
+            # compiled); recomputing in the backward trades ~1 extra forward
+            # for fitting comfortably
+            @jax.checkpoint
+            def one_step(p, pos, vel):
+                return net.apply(
+                    p, pos, vel, box, nrm, return_diag=True, box_grid=box_grid
+                )
+
             def loss_fn(p):
-                pred1, v1, nn1, diag1 = net.apply(
-                    p, pos0, vel0, box, nrm, return_diag=True, box_grid=box_grid
-                )
-                pred2, v2, nn2, diag2 = net.apply(
-                    p, pred1, v1, box, nrm, return_diag=True, box_grid=box_grid
-                )
+                pred1, v1, nn1, diag1 = one_step(p, pos0, vel0)
+                pred2, v2, nn2, diag2 = one_step(p, pred1, v1)
                 l1 = losses.weighted_mse_loss(pred1, pos1, nn1)
                 l2 = losses.weighted_mse_loss(pred2, pos2, nn2)
                 b1 = losses.boundary_loss(pred1, bounds)

@@ -56,7 +56,8 @@ def scene_cfg(n_frames=61):
 
 def renderer_cfg():
     return dict(
-        ray=dict(ray_chunk=1024, N_importance=128, N_samples=64),
+        ray=dict(ray_chunk=1024, N_importance=128, N_samples=64,
+                 eval_ray_chunk=2048),
         NN_search=dict(fix_radius=True, particle_radius=0.025,
                        search_radius_scale=9.0, N_neighbor=20,
                        backend="grid", selection="approx", mode="dense"),
@@ -92,8 +93,16 @@ def main():
     print(f"[{time.time()-t_start:.0f}s] scene ready", flush=True)
 
     # ---------------------------------------------------------------- warmup
+    wm_models = osp.join(ROOT, "exps", "warmup", "models")
+    wm_resume = wm_models if (
+        osp.isdir(wm_models) and os.listdir(wm_models)
+    ) else ""
+    if wm_resume:
+        print(f"[{time.time()-t_start:.0f}s] resuming warmup from "
+              f"{wm_resume}", flush=True)
     cfg = ConfigNode(dict(
-        expdir=osp.join(ROOT, "exps"), expname="warmup", resume_from="",
+        expdir=osp.join(ROOT, "exps"), expname="warmup",
+        resume_from=wm_resume,
         TRAIN=dict(seed=10, N_iters=WARMUP_ITERS, precrop_iters=500,
                    save_interval=10**7, log_interval=100,
                    imgW=400, imgH=400, scale=1.0,
@@ -104,11 +113,11 @@ def main():
         **scene_cfg(),
     ))
     wt = WarmupTrainer(cfg)
-    loss = wt.train(n_iters=WARMUP_ITERS)
+    loss = wt.train(n_iters=WARMUP_ITERS)  # None when fully resumed
     wt.save_checkpoint(WARMUP_ITERS)
     res = wt.eval(WARMUP_ITERS)
     results["warmup"] = {
-        "final_loss": float(loss),
+        "final_loss": None if loss is None else float(loss),
         "psnr_coarse": float(res["view_5"]["psnr_0"]),
         "psnr_fine": float(res["view_5"]["psnr_1"]),
         "wall_s": time.time() - t_start,
