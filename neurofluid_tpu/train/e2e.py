@@ -170,6 +170,9 @@ class E2ETrainer(TrainerBase):
         self.transition = ParticleNet(
             gravity=gravity,
             search_backend=cfg.TRAIN.get("search_backend", "auto"),
+            fluid_neighbor_k=int(cfg.TRAIN.get("fluid_neighbor_k", 64)),
+            obstacle_neighbor_k=int(cfg.TRAIN.get("obstacle_neighbor_k", 48)),
+            grid_max_per_cell=int(cfg.TRAIN.get("grid_max_per_cell", 32)),
         )
         self.renderer = build_renderer(cfg)
 

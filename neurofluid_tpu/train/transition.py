@@ -40,6 +40,12 @@ def build_particle_net(cfg) -> ParticleNet:
         gravity=tuple(float(x) for x in g),
         particle_radius=float(cfg.TRAIN.get("particle_radius", 0.025)),
         search_backend=cfg.TRAIN.get("search_backend", "auto"),
+        # static-shape caps (the reference's Open3D search is uncapped);
+        # raise these when the fail-loudly overflow policy fires — early
+        # transition training legitimately produces compressed states
+        fluid_neighbor_k=int(cfg.TRAIN.get("fluid_neighbor_k", 64)),
+        obstacle_neighbor_k=int(cfg.TRAIN.get("obstacle_neighbor_k", 48)),
+        grid_max_per_cell=int(cfg.TRAIN.get("grid_max_per_cell", 32)),
     )
 
 

@@ -130,6 +130,10 @@ def main():
         TRAIN=dict(seed=10, N_iters=1, save_interval=10**7, log_interval=50,
                    lr=1e-4, grad_clip_value=1.0, start_index=0, end_index=50,
                    particle_radius=0.025, gravity=[0.0, 0.0, -9.81],
+                   # generous caps: early-training rollouts compress the
+                   # fluid well past rest density (reference search uncapped)
+                   fluid_neighbor_k=128, obstacle_neighbor_k=64,
+                   grid_max_per_cell=64,
                    pretrained="", search_backend="grid",
                    datapath=dict(train=SCENE, train_datatype="blender_all",
                                  eval=SCENE, eval_datatype="blender_all")),
@@ -153,6 +157,8 @@ def main():
                    imgW=400, imgH=400, scale=1.0, grad_clip_value=0,
                    LR=dict(trans_lr=1e-5, renderer_lr=3e-4, use_scheduler=True),
                    loss_weight=dict(boundary_loss=1.0),
+                   fluid_neighbor_k=128, obstacle_neighbor_k=64,
+                   grid_max_per_cell=64,
                    pretrained_renderer=wt.modelpath,
                    pretrained_transition_model=tt.modelpath,
                    partial_load=False, search_backend="grid"),
