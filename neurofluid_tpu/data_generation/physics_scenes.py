@@ -364,9 +364,12 @@ def create_random_scene(
     else:
         from neurofluid_tpu.data import synthetic
 
-        positions, velocities = synthetic.simulate(pos0, vel0, n_frames, seed=seed,
-                                                   gravity=(0.0, -9.81, 0.0),
-                                                   bounds=(box_lower, box_upper))
+        # PBF fallback: fluid-realistic sloshing (incompressibility solve),
+        # not ballistic fall — the closest offline stand-in for DFSPH
+        positions, velocities = synthetic.simulate_pbf(
+            pos0, vel0, n_frames, seed=seed,
+            gravity=(0.0, -9.81, 0.0), bounds=(box_lower, box_upper),
+        )
         os.makedirs(outdir, exist_ok=True)
         for i in range(n_frames):
             np.savez(osp.join(outdir, f"fluid_{i:04d}.npz"),
@@ -480,7 +483,7 @@ def generate_scene(out_dir: str, box_lower=(-1, -1, -1), box_upper=(1, 1, 2.4552
     else:
         from neurofluid_tpu.data import synthetic
 
-        positions, velocities = synthetic.simulate(
+        positions, velocities = synthetic.simulate_pbf(
             fluid, np.zeros_like(fluid), n_frames, seed=seed
         )
         os.makedirs(osp.join(out_dir, "output"), exist_ok=True)

@@ -223,6 +223,13 @@ class ParticleNet(nn.Module):
             jnp.sum((c > hi - radius).astype(jnp.int32)) > H,
             jnp.sum((c < lo + radius).astype(jnp.int32)) > H,
         )
+        # Slots are ordered by the PRE-integration coordinate; membership in
+        # the boundary band uses the POST-integration coordinate c. A particle
+        # that moved into the band while sitting outside the H-slot window
+        # would be silently not exchanged — flag it even when the band count
+        # stays <= H (fail-loudly contract).
+        over = jnp.logical_or(over, jnp.any(c[:-H] > hi - radius))
+        over = jnp.logical_or(over, jnp.any(c[H:] < lo + radius))
         # 2-hop violation: shard d+2's slab starts within radius of ours
         one = jnp.ones((1,), jnp.float32)
         lo_p2 = from_shift(lo[None], 2)

@@ -191,6 +191,10 @@ class E2ETrainer(TrainerBase):
             self.transition.make_grid(box)
             if self.transition.search_backend != "brute" else None
         )
+        # The grid is keyed to THIS box; if the dataset ever spans scenes with
+        # different boundary geometry the per-step assert below fails loudly
+        # instead of silently convolving against a stale grid.
+        self._box_grid_src = np.asarray(d0["box"])
 
         if cfg.TRAIN.get("pretrained_transition_model"):
             loaded, _ = ckpt.restore_checkpoint(cfg.TRAIN.pretrained_transition_model)
@@ -302,6 +306,13 @@ class E2ETrainer(TrainerBase):
                 rays_v = jnp.asarray(np.stack(rays_sel))
                 rgbs_v = jnp.asarray(np.stack(rgbs_sel))
                 ro_v = jnp.asarray(data["cw_1"][:, :, 3])
+
+                if self.box_grid is not None and not np.array_equal(
+                        np.asarray(data["box"]), self._box_grid_src):
+                    raise ValueError(
+                        "per-frame box differs from the box the static grid "
+                        "was built from; rebuild box_grid per scene"
+                    )
 
                 (
                     self.params_r, self.params_t,

@@ -36,6 +36,33 @@ class TestSynthetic:
         # gravity pulls the blob down over time
         assert p[-1, :, 2].mean() < p[0, :, 2].mean()
 
+    def test_pbf_simulation_fluid_like(self):
+        """PBF stepper (the DFSPH stand-in): stable, box-contained, and
+        incompressible — nearest-neighbor spacing stays near the rest
+        spacing instead of compressing to a point (the ballistic fallback's
+        failure mode under gravity)."""
+        from scipy.spatial import cKDTree
+
+        pos0, vel0 = synthetic.make_fluid_blob(
+            n_side=6, center=(0.2, 0.0, 0.0), seed=10
+        )
+        p, v = synthetic.simulate_pbf(pos0, vel0, 12)
+        assert p.shape == (12, 216, 3)
+        assert np.isfinite(p).all() and np.isfinite(v).all()
+        lo = synthetic.BOX_MIN + synthetic.PARTICLE_RADIUS - 1e-5
+        hi = synthetic.BOX_MAX - synthetic.PARTICLE_RADIUS + 1e-5
+        assert np.all(p >= lo) and np.all(p <= hi)
+        assert p[-1, :, 2].mean() < p[0, :, 2].mean()  # gravity acts
+        # no particle clumping or blow-up at any frame
+        for f in (5, 11):
+            d, _ = cKDTree(p[f]).query(p[f], k=2)
+            assert np.median(d[:, 1]) > 0.03  # rest spacing is 0.05
+            assert np.median(d[:, 1]) < 0.10
+        assert np.abs(v).max() < 20.0
+        # deterministic
+        p2, _ = synthetic.simulate_pbf(pos0, vel0, 12)
+        np.testing.assert_array_equal(p, p2)
+
     def test_box_normals_point_inward(self):
         box, nrm = synthetic.make_box()
         assert box.shape == nrm.shape
