@@ -20,17 +20,29 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 5_000.0
+# Derived A100 bound for the transition-only trainer step (2-step rollout,
+# fwd+bwd, reference trainer_transmodel.py:179-200): the BASELINE.md
+# component model puts one ParticleNet fwd+bwd at 5-10 ms on A100 (CConv x4
+# + hash-grid search); the 2-step trainer step is ~2x that plus optimizer /
+# launch overhead => 15-25 ms => 14,336 particles x 2 steps / 20 ms
+# ~ 1.4M particle-steps/s central estimate.
+REFERENCE_PARTICLE_STEPS_PER_SEC_ESTIMATE = 1.4e6
 
 N_PARTICLES = 14_336
 N_BOX = 4_096
 N_RAYS = 1024
 N_VIEWS = 1
+
+# production perf knobs (env-overridable for sweeps)
+CONV_PRECISION = os.environ.get("NF_BENCH_CONV_PRECISION", "high")
+QUERY_CHUNK = int(os.environ.get("NF_BENCH_QUERY_CHUNK", 16384))
 
 
 def build_problem():
@@ -116,7 +128,10 @@ def main():
 
     pos, vel, box, nrm, ro, rays, rgbs = build_problem()
 
-    transition = ParticleNet(gravity=(0.0, 0.0, -9.81))
+    transition = ParticleNet(
+        gravity=(0.0, 0.0, -9.81),
+        conv_precision=CONV_PRECISION, query_chunk=QUERY_CHUNK,
+    )
     renderer = RenderNet()  # reference working point: 64+128 samples, K=20
 
     key = jax.random.PRNGKey(0)
@@ -170,6 +185,100 @@ def main():
         f"# device={jax.devices()[0]}, compile={compile_s:.1f}s, "
         f"step={median * 1e3:.1f}ms, loss={float(out[4]):.5f}, "
         f"search_overflow={overflow}",
+        file=sys.stderr, flush=True,
+    )
+
+    # ---- metric 2: particle-steps/sec of the transition-only trainer step
+    # (2-step rollout fwd+bwd + Adam, reference trainer_transmodel.py:179-200)
+    # and of the autoregressive eval rollout (reference eval_e2e.py:74-78).
+    import optax as _optax
+
+    from neurofluid_tpu.train import transition as trans_mod
+
+    topt = _optax.chain(_optax.clip_by_global_norm(1.0), _optax.adam(1e-4))
+    net_t = transition
+    # params_t was DONATED into the e2e step; carry holds the live copy
+    t_params = carry[1]
+    t_opt_state = topt.init(t_params)
+    bounds = losses.default_box_bounds()
+
+    def t_train_step(params, opt_state, pos0, vel0, pos1, pos2, box_, nrm_,
+                     box_grid_):
+        @jax.checkpoint
+        def one_step(p, pp, vv):
+            return net_t.apply(p, pp, vv, box_, nrm_, return_diag=True,
+                               box_grid=box_grid_)
+
+        def loss_fn(p):
+            pred1, v1, nn1, diag1 = one_step(p, pos0, vel0)
+            pred2, v2, nn2, diag2 = one_step(p, pred1, v1)
+            l1 = losses.weighted_mse_loss(pred1, pos1, nn1)
+            l2 = losses.weighted_mse_loss(pred2, pos2, nn2)
+            total = (0.5 * l1 + 0.5 * l2
+                     + losses.boundary_loss(pred1, bounds)
+                     + losses.boundary_loss(pred2, bounds))
+            ov = jnp.logical_or(diag1["grid_overflow"], diag2["grid_overflow"])
+            return total, ov
+
+        (loss, ov), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = topt.update(grads, opt_state, params)
+        params = _optax.apply_updates(params, updates)
+        return params, opt_state, loss, ov
+
+    tstep = jax.jit(t_train_step, donate_argnums=(0, 1))
+    pos1_t = jnp.asarray(pos + 0.001)
+    pos2_t = jnp.asarray(pos + 0.002)
+    t0 = time.time()
+    tout = tstep(t_params, t_opt_state, jnp.asarray(pos), jnp.asarray(vel),
+                 pos1_t, pos2_t, jnp.asarray(box), jnp.asarray(nrm), box_grid)
+    # t_params/t_opt_state are now donated; only tout's arrays are live
+    jax.block_until_ready(tout)
+    t_compile_s = time.time() - t0
+    t_params2, t_opt2 = tout[0], tout[1]
+    t_times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        tout = tstep(t_params2, t_opt2, jnp.asarray(pos), jnp.asarray(vel),
+                     pos1_t, pos2_t, jnp.asarray(box), jnp.asarray(nrm),
+                     box_grid)
+        jax.block_until_ready(tout)
+        t_times.append(time.perf_counter() - t0)
+        t_params2, t_opt2 = tout[0], tout[1]
+    t_median = sorted(t_times)[len(t_times) // 2]
+    t_overflow = bool(tout[3])
+    particle_steps_per_sec = 2 * N_PARTICLES / t_median
+
+    # eval rollout (inference): 10 autoregressive steps, jitted scan
+    rollout = jax.jit(
+        trans_mod.make_rollout_fn(net_t, with_diag=True),
+        static_argnames=("n_steps",),
+    )
+    r_out = rollout(t_params2, jnp.asarray(pos), jnp.asarray(vel),
+                    jnp.asarray(box), jnp.asarray(nrm), n_steps=10)
+    jax.block_until_ready(r_out)
+    r_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r_out = rollout(t_params2, jnp.asarray(pos), jnp.asarray(vel),
+                        jnp.asarray(box), jnp.asarray(nrm), n_steps=10)
+        jax.block_until_ready(r_out)
+        r_times.append(time.perf_counter() - t0)
+    r_median = sorted(r_times)[len(r_times) // 2]
+    rollout_particle_steps_per_sec = 10 * N_PARTICLES / r_median
+
+    print(
+        f"# device={jax.devices()[0]}, compile={compile_s:.1f}s, "
+        f"step={median * 1e3:.1f}ms, loss={float(out[4]):.5f}, "
+        f"search_overflow={overflow}",
+        file=sys.stderr,
+    )
+    print(
+        f"# transition: compile={t_compile_s:.1f}s, "
+        f"train_step={t_median * 1e3:.1f}ms "
+        f"({particle_steps_per_sec:,.0f} particle-steps/s fwd+bwd), "
+        f"rollout_10={r_median * 1e3:.1f}ms "
+        f"({rollout_particle_steps_per_sec:,.0f} particle-steps/s eval), "
+        f"overflow={t_overflow}",
         file=sys.stderr,
     )
     print(
@@ -179,6 +288,23 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3),
+                "extra": {
+                    "e2e_step_ms": round(median * 1e3, 1),
+                    "compile_s": round(compile_s, 1),
+                    "search_overflow": overflow,
+                    "transition_train_particle_steps_per_sec": round(
+                        particle_steps_per_sec, 1
+                    ),
+                    "transition_train_vs_baseline": round(
+                        particle_steps_per_sec
+                        / REFERENCE_PARTICLE_STEPS_PER_SEC_ESTIMATE, 3
+                    ),
+                    "rollout_particle_steps_per_sec": round(
+                        rollout_particle_steps_per_sec, 1
+                    ),
+                    "transition_overflow": t_overflow,
+                    "conv_precision": CONV_PRECISION,
+                },
             }
         )
     )

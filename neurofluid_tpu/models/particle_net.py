@@ -51,6 +51,7 @@ class ContinuousConvLayer(nn.Module):
     filters: int
     kernel_size: tuple = (4, 4, 4)
     query_chunk: int = 4096
+    precision: str = "highest"  # 'highest' (f32-exact) | 'high' (bf16_3x)
 
     @nn.compact
     def __call__(self, feats, neighbors, corner, tapw, plan=None):
@@ -77,6 +78,7 @@ class ContinuousConvLayer(nn.Module):
             kernel_size=self.kernel_size,
             query_chunk=self.query_chunk,
             plan=plan,
+            precision=getattr(jax.lax.Precision, self.precision.upper()),
         )
         return out + bias
 
@@ -126,6 +128,10 @@ class ParticleNet(nn.Module):
     # fail-loudly policy.
     halo_size: int = 0
     halo_axis: int = 0
+    # MXU precision of the conv contractions: 'highest' = f32-exact
+    # (bf16_6x passes), 'high' = bf16_3x (~1e-6 relative, ~2x faster).
+    # TPU trainers/bench pick 'high' after the quality pin validated it.
+    conv_precision: str = "highest"
 
     @property
     def filter_extent(self) -> float:
@@ -335,7 +341,9 @@ class ParticleNet(nn.Module):
             box, pos_new, box_nbrs, extent, plan=box_plan, **geo_args
         )
 
-        conv_args = dict(kernel_size=self.kernel_size, query_chunk=self.query_chunk)
+        conv_args = dict(kernel_size=self.kernel_size,
+                         query_chunk=self.query_chunk,
+                         precision=self.conv_precision)
         c0 = self.layer_channels[0]
         ans_fluid = ContinuousConvLayer(c0, name="conv0_fluid", **conv_args)(
             all_fluid_feats, fluid_nbrs, fl_corner, fl_tapw, plan=fluid_plan

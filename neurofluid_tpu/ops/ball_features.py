@@ -129,10 +129,16 @@ def group_queries(
     )
     qcell_full = (cell3[:, 0] * dims[1] + cell3[:, 1]) * dims[2] + cell3[:, 2]
     key = jnp.where(inside, qcell_full, num_cells)
-    # f32 sort keys (fast TPU path); cell ids < 2^24 exact
-    order = jnp.argsort(key.astype(jnp.float32)).astype(jnp.int32)
-    inv_rank = jnp.argsort(order.astype(jnp.float32)).astype(jnp.int32)
-    qcell = key[order][:capacity].astype(jnp.int32)
+    # f32 sort keys (fast TPU path); cell ids < 2^24 exact. Each variadic
+    # sort returns (sorted keys, order) together — no post-sort gathers.
+    iota = jnp.arange(q, dtype=jnp.int32)
+    key_sorted, order = jax.lax.sort(
+        (key.astype(jnp.float32), iota), dimension=0, num_keys=1
+    )
+    _, inv_rank = jax.lax.sort(
+        (order.astype(jnp.float32), iota), dimension=0, num_keys=1
+    )
+    qcell = key_sorted[:capacity].astype(jnp.int32)
 
     starts_cell = jnp.searchsorted(
         qcell, jnp.arange(num_cells + 1, dtype=jnp.int32), side="left"
@@ -221,63 +227,78 @@ def _neighbor_rows(gcell, dims):
 # ---------------------------------------------------------------------------
 
 
-def _block_sums(qx, qy, qz, rows_x, rows_y, rows_z, radius: float, k: int):
-    """Feature sums for one block.
+def _cell_terms(qx, qy, qz, rx, ry, rz, off, radius: float, k: int):
+    """ONE cell's contribution to the feature sums.
 
-    qx/qy/qz: (T, 1) query coordinate columns; rows_*: lists of 27 (1, cap)
-    candidate coordinate rows (sentinel at invalid slots).
-    Returns (T, N_SUMS_PAD) f32 — the last 3 columns are identically zero
+    qx/qy/qz: (T, 1) query coordinate columns; rx/ry/rz: (1, cap) candidate
+    coordinate row (sentinel at invalid slots); off: (T, 1) running
+    neighbor count over previously processed cells (selection budget).
+
+    Returns (sums (T, N_SUMS_PAD), cnt (T, 1)); the caller accumulates sums
+    and advances off by cnt. The last 3 sum columns are identically zero
     (padding so Pallas blocks read/write full tiles without lane slicing).
 
     Selection = first-k in (cell, slot) candidate order: per-cell slot rank
-    via one (T,cap)x(cap,cap) triangular matmul (MXU) + a running cross-cell
-    offset — the rule this module documents.
+    via one (T,cap)x(cap,cap) triangular matmul (MXU) + the running
+    cross-cell offset — the rule this module documents. Selection is
+    DISCRETE: `off` only gates boolean masks, so no gradient couples cells
+    (the Pallas backward differentiates one cell at a time with off fixed).
 
     Shared verbatim by the XLA reference backend AND the Pallas TPU kernels:
-    everything is strictly 2-D (T, cap) work in a 27-iteration unrolled loop
-    (Mosaic cannot lower 1-D values, lane slicing, or 3-D reshapes).
+    everything is strictly 2-D (T, cap) work (Mosaic cannot lower 1-D
+    values, lane slicing, or 3-D reshapes).
     """
     t = qx.shape[0]
-    cap = rows_x[0].shape[-1]
+    cap = rx.shape[-1]
     f32 = jnp.float32
     r2 = radius * radius
-    k_f = float(k)
     triu = jnp.triu(jnp.ones((cap, cap), f32))  # rank[j] = sum_{i<=j} w[i]
 
-    acc = [jnp.zeros((t, 1), f32) for _ in range(N_SUMS_PAD)]
-    off = jnp.zeros((t, 1), f32)
-    for o in range(27):
-        dx = rows_x[o] - qx  # (T, cap)
-        dy = rows_y[o] - qy
-        dz = rows_z[o] - qz
-        d2 = dx * dx + dy * dy + dz * dz
-        within = d2 < r2  # strict: pytorch3d ball_query convention
-        wf = within.astype(f32)
-        rank = jax.lax.dot_general(
-            wf, triu, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    dx = rx - qx  # (T, cap)
+    dy = ry - qy
+    dz = rz - qz
+    d2 = dx * dx + dy * dy + dz * dz
+    within = d2 < r2  # strict: pytorch3d ball_query convention
+    wf = within.astype(f32)
+    rank = jax.lax.dot_general(
+        wf, triu, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    cnt = rank[:, cap - 1 : cap]
+    sel = within & ((off + rank) <= float(k))
+    sf = sel.astype(f32)
+    nn = sf * (d2 > 0.0)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    w = jnp.maximum(1.0 - (d / radius) ** 3, 0.0) * sf
+
+    def rsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)
+
+    cols = [
+        rsum(v) for v in (
+            wf, sf, nn, w,
+            w * rx, w * ry, w * rz,
+            nn * dx, nn * dy, nn * dz,
+            nn * dx * dx, nn * dy * dy, nn * dz * dz,
         )
-        cnt = rank[:, cap - 1 : cap]
-        sel = within & ((off + rank) <= k_f)
+    ]
+    cols.append(jnp.zeros((t, N_SUMS_PAD - N_SUMS), f32))
+    return jnp.concatenate(cols, axis=1), cnt
+
+
+def _block_sums(qx, qy, qz, rows_x, rows_y, rows_z, radius: float, k: int):
+    """Feature sums for one block: 27-cell loop over `_cell_terms`
+    (the XLA-traceable composition; the Pallas kernels instead walk the
+    cells as a grid dimension with VMEM accumulator scratch)."""
+    t = qx.shape[0]
+    acc = jnp.zeros((t, N_SUMS_PAD), jnp.float32)
+    off = jnp.zeros((t, 1), jnp.float32)
+    for o in range(27):
+        sums, cnt = _cell_terms(
+            qx, qy, qz, rows_x[o], rows_y[o], rows_z[o], off, radius, k
+        )
+        acc = acc + sums
         off = off + cnt
-        sf = sel.astype(f32)
-        nn = sf * (d2 > 0.0)
-        d = jnp.sqrt(jnp.maximum(d2, 1e-24))
-        w = jnp.maximum(1.0 - (d / radius) ** 3, 0.0) * sf
-
-        def rsum(x):
-            return jnp.sum(x, axis=1, keepdims=True)
-
-        for i, val in enumerate(
-            (
-                wf, sf, nn, w,
-                w * rows_x[o], w * rows_y[o], w * rows_z[o],
-                nn * dx, nn * dy, nn * dz,
-                nn * dx * dx, nn * dy * dy, nn * dz * dz,
-            )
-        ):
-            acc[i] = acc[i] + rsum(val)
-
-    return jnp.concatenate(acc, axis=1)
+    return acc
 
 
 def _block_sums_vec(q, cx, cy, cz, radius: float, k: int):

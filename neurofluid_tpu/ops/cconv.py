@@ -204,7 +204,8 @@ def cconv_geometry(
     return corner, w8 * w[..., None]
 
 
-def _cconv_apply_chunk(chunk, filters: jax.Array, num_taps: int):
+def _cconv_apply_chunk(chunk, filters: jax.Array, num_taps: int,
+                       precision=jax.lax.Precision.HIGHEST):
     """One query chunk: corner (C,K,8), tapw (C,K,8), feats (C,K,Cin)
     -> out (C, Cout)."""
     corner, tapw, feats_nb = chunk
@@ -220,14 +221,17 @@ def _cconv_apply_chunk(chunk, filters: jax.Array, num_taps: int):
     # precision=HIGHEST keeps the contraction inputs in full f32: the default
     # (bf16 operands on the MXU) loses ~1e-3 on the physics features, which is
     # too coarse for the position-gradient path the simulator depends on.
+    # HIGH (bf16_3x, ~1e-6 relative error) is the measured-safe fast option —
+    # trainers select it via ParticleNet.conv_precision after the TPU quality
+    # pin; HIGHEST stays the default.
     basis = jnp.einsum(
-        "qkt,qkc->qtc", tw, feats_nb, precision=jax.lax.Precision.HIGHEST
+        "qkt,qkc->qtc", tw, feats_nb, precision=precision
     )  # (C,T,Cin)
     out = jnp.einsum(
         "qtc,tco->qo",
         basis,
         filters,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         # accumulate in at least f32, but never downcast f64 inputs
         preferred_element_type=jnp.result_type(basis.dtype, jnp.float32),
     )
@@ -243,6 +247,7 @@ def continuous_conv_apply(
     kernel_size: tuple = (4, 4, 4),
     query_chunk: int = 4096,
     plan=None,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Contract per-layer features against precomputed conv geometry.
 
@@ -273,7 +278,8 @@ def continuous_conv_apply(
     # footprint); recomputing the cheap contraction in the backward keeps
     # the peak at one chunk
     fn = jax.checkpoint(functools.partial(
-        _cconv_apply_chunk, filters=filters_flat, num_taps=num_taps
+        _cconv_apply_chunk, filters=filters_flat, num_taps=num_taps,
+        precision=precision,
     ))
     if n_chunks == 1:
         return fn((corner, tapw, nb_feats))

@@ -371,12 +371,15 @@ def build_cell_grid(
         # invalid points sort past every real cell and are never densified
         num_cells_ = dims[0] * dims[1] * dims[2]
         cell_id = jnp.where(jax.lax.stop_gradient(valid), cell_id, num_cells_)
-    # f32 sort keys (fast TPU sort path); cell ids < 2^24 are exact in f32
-    order = jnp.argsort(cell_id.astype(jnp.float32)).astype(jnp.int32)
-    sorted_cell_id = cell_id[order]
+    # f32 sort keys (fast TPU sort path); cell ids < 2^24 are exact in f32.
+    # One variadic sort returns (sorted ids, order) — no post-sort gather.
+    sorted_cell_id, order = jax.lax.sort(
+        (cell_id.astype(jnp.float32), jnp.arange(n, dtype=jnp.int32)),
+        dimension=0, num_keys=1,
+    )
     num_cells = dims[0] * dims[1] * dims[2]
     starts = jnp.searchsorted(
-        sorted_cell_id, jnp.arange(num_cells + 1, dtype=jnp.int32), side="left"
+        sorted_cell_id, jnp.arange(num_cells + 1, dtype=jnp.float32), side="left"
     ).astype(jnp.int32)
     overflow = jnp.max(starts[1:] - starts[:-1]) > cap
 

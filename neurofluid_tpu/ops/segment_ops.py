@@ -39,15 +39,18 @@ def segment_sum_sorted(values: jax.Array, segment_ids: jax.Array, num_segments: 
     values = jnp.where(valid[:, None], values, 0.0)
 
     # f32 sort keys: int32 sorts take a ~30x slower TPU path; ids < 2^24
-    # are exact in f32
-    order = jnp.argsort(ids.astype(jnp.float32))
-    ids_sorted = ids[order]
+    # are exact in f32. One variadic sort returns keys + order together.
+    ids_sorted, order = jax.lax.sort(
+        (ids.astype(jnp.float32), jnp.arange(m, dtype=jnp.int32)),
+        dimension=0, num_keys=1,
+    )
     vals_sorted = values[order]
 
     csum = jnp.cumsum(vals_sorted.astype(jnp.float32), axis=0)
     csum = jnp.concatenate([jnp.zeros((1, c), csum.dtype), csum], axis=0)  # (M+1, C)
     # segment n occupies [start_n, start_{n+1}) in the sorted order
-    starts = jnp.searchsorted(ids_sorted, jnp.arange(num_segments + 1, dtype=jnp.int32),
+    starts = jnp.searchsorted(ids_sorted,
+                              jnp.arange(num_segments + 1, dtype=jnp.float32),
                               side="left")
     out = csum[starts[1:]] - csum[starts[:-1]]
     out = out.astype(values.dtype)
@@ -105,10 +108,16 @@ def adjoint_plan(idx: jax.Array, n: int) -> AdjointPlan:
     ids = jax.lax.stop_gradient(idx).reshape(-1).astype(jnp.int32)
     valid = (ids >= 0) & (ids < n)
     ids = jnp.where(valid, ids, n)
-    order = jnp.argsort(ids.astype(jnp.float32)).astype(jnp.int32)  # f32 keys
-    ids_sorted = ids[order]
+    # ONE variadic sort yields both the sorted keys and the order — argsort
+    # followed by ids[order] would re-gather the 1.8M-element id array
+    # (~14 ms/step at the watercube working point). f32 keys: fast TPU sort
+    # path, ids < 2^24 exact.
+    ids_sorted, order = jax.lax.sort(
+        (ids.astype(jnp.float32), jnp.arange(ids.shape[0], dtype=jnp.int32)),
+        dimension=0, num_keys=1,
+    )
     starts = jnp.searchsorted(
-        ids_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left"
+        ids_sorted, jnp.arange(n + 1, dtype=jnp.float32), side="left"
     ).astype(jnp.int32)
     return AdjointPlan(order, starts, n)
 
@@ -211,10 +220,12 @@ def segment_sum_sorted_multi(values: list, segment_ids: jax.Array, num_segments:
     ids = segment_ids.astype(jnp.int32)
     valid = (ids >= 0) & (ids < num_segments)
     ids = jnp.where(valid, ids, num_segments)
-    order = jnp.argsort(ids.astype(jnp.float32))  # f32 keys: fast TPU sort path
-    ids_sorted = ids[order]
+    ids_sorted, order = jax.lax.sort(  # f32 keys: fast TPU sort path
+        (ids.astype(jnp.float32), jnp.arange(ids.shape[0], dtype=jnp.int32)),
+        dimension=0, num_keys=1,
+    )
     starts = jnp.searchsorted(
-        ids_sorted, jnp.arange(num_segments + 1, dtype=jnp.int32), side="left"
+        ids_sorted, jnp.arange(num_segments + 1, dtype=jnp.float32), side="left"
     )
     outs = []
     for v in values:

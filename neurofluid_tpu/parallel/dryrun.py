@@ -130,15 +130,20 @@ def run_particle_sharded_step(n_devices: int, seed: int = 0):
     )
 
 
-def run_halo_particle_step(n_devices: int, seed: int = 0, halo_size: int = 32):
+def run_halo_particle_step(n_devices: int, seed: int = 0, halo_size: int = 32,
+                           search_backend: str = "brute",
+                           n_per_device: int = 64):
     """Halo-exchange particle-sharded step vs the replicated step.
 
     Particles are globally sorted along x (halo_axis=0) and spread so each
     shard's slab is wider than the search radius (the caller contract the
-    halo strategy documents)."""
+    halo strategy documents). `search_backend='grid'` exercises the
+    per-shard cell-grid build with the `points_valid` halo-slot masking
+    (masked slots carry sentinel coordinates and must be excluded from the
+    tables)."""
     mesh = make_mesh(n_devices, axis_name="particles")
     rng = np.random.default_rng(seed)
-    n = 64 * max(1, n_devices)
+    n = n_per_device * max(1, n_devices)
     pos = rng.uniform(-0.3, 0.3, size=(n, 3)).astype(np.float32)
     # stretch x so each of the n slabs is wider than radius (0.1125)
     pos[:, 0] *= max(1.0, 0.55 * n_devices)
@@ -147,10 +152,76 @@ def run_halo_particle_step(n_devices: int, seed: int = 0, halo_size: int = 32):
     box = rng.uniform(-0.6, 0.6, size=(48, 3)).astype(np.float32)
     nrm = np.tile(np.asarray([0, 0, 1.0], np.float32), (48, 1))
 
+    # halo-extended x coordinates span the whole container, so the grid
+    # bounds must cover the stretched positions on the grid backend
+    span = float(np.abs(pos[:, 0]).max()) + 0.2
+    kw = dict(search_backend=search_backend, fluid_neighbor_k=16,
+              obstacle_neighbor_k=8, halo_axis=0,
+              grid_lower=(-span, -1.05, -1.05), grid_upper=(span, 1.05, 2.55))
+
     def factory(axis):
-        return ParticleNet(search_backend="brute", fluid_neighbor_k=16,
-                           obstacle_neighbor_k=8, shard_axis=axis,
-                           halo_size=halo_size, halo_axis=0)
+        return ParticleNet(shard_axis=axis, halo_size=halo_size, **kw)
+
+    net_ref = factory(None)
+    args = tuple(jnp.asarray(a) for a in (pos, vel, box, nrm))
+    params = net_ref.init(jax.random.PRNGKey(0), *args)
+    ref_pos, _, ref_nn = net_ref.apply(params, *args)
+
+    step = make_halo_particle_step(factory, mesh)
+    sh_pos, _, sh_nn, diag = step(params, *args)
+    return (
+        np.asarray(ref_pos), np.asarray(sh_pos),
+        np.asarray(ref_nn), np.asarray(sh_nn),
+        {k: bool(v) for k, v in diag.items()},
+    )
+
+
+def run_halo_lattice_step(n_devices: int, dims=(48, 24, 12),
+                          halo_size: int = 1024,
+                          search_backend: str = "grid", jitter: float = 0.004,
+                          seed: int = 0):
+    """Halo-exchange step at REFERENCE particle density and scale: a
+    48x24x12 jittered rest-spacing lattice (13,824 particles — the protocol
+    working point count — at the DFSPH rest spacing 0.05) split into
+    x-slabs. The x-extent is 2.4, so each of 8 slabs is ~0.30 wide — a
+    realistic slab-decomposition aspect (comfortably wider than the 0.1125
+    search radius; a 24^3 cube would give 0.124-wide slabs, inside the
+    contract's margin). Each slab face has ~650-810
+    particles in its exchange band (24*12*(radius/spacing) plus jitter
+    boundary effects); halo_size=1024 gives ~25% headroom and stays well
+    under the 1,728 local slab size. Grid backend: per-shard
+    tables over the halo-extended positions with sentinel-slot masking
+    (`points_valid`).
+
+    Returns (ref_pos, sh_pos, ref_nn, sh_nn, diag) like
+    `run_halo_particle_step`."""
+    mesh = make_mesh(n_devices, axis_name="particles")
+    rng = np.random.default_rng(seed)
+    spacing = 0.05
+    gx = (np.arange(dims[0], dtype=np.float32) - dims[0] / 2 + 0.5) * spacing
+    gy = (np.arange(dims[1], dtype=np.float32) - dims[1] / 2 + 0.5) * spacing
+    gz = (np.arange(dims[2], dtype=np.float32) + 0.5) * spacing
+    x, y, z = np.meshgrid(gx, gy, gz, indexing="ij")
+    pos = np.stack([x, y, z], -1).reshape(-1, 3)
+    pos += rng.normal(scale=jitter, size=pos.shape).astype(np.float32)
+    n = len(pos)
+    pad = (-n) % n_devices
+    if pad:
+        pos = np.concatenate([pos, pos[:pad] + 0.001])
+    pos = pos[np.argsort(pos[:, 0])]
+    vel = (rng.normal(size=pos.shape) * 0.05).astype(np.float32)
+    box = rng.uniform(-0.6, 0.6, size=(128, 3)).astype(np.float32)
+    nrm = np.tile(np.asarray([0, 0, 1.0], np.float32), (128, 1))
+
+    # grid bounds must cover the 2.4-wide x-extent (the defaults hug the
+    # reference container)
+    kw = dict(search_backend=search_backend, halo_axis=0,
+              fluid_neighbor_k=64, obstacle_neighbor_k=16,
+              grid_max_per_cell=32,
+              grid_lower=(-1.35, -0.8, -0.8), grid_upper=(1.35, 0.8, 0.8))
+
+    def factory(axis):
+        return ParticleNet(shard_axis=axis, halo_size=halo_size, **kw)
 
     net_ref = factory(None)
     args = tuple(jnp.asarray(a) for a in (pos, vel, box, nrm))
@@ -168,20 +239,32 @@ def run_halo_particle_step(n_devices: int, seed: int = 0, halo_size: int = 32):
 
 def dryrun_multichip(n_devices: int) -> None:
     """Driver entry: full sharded e2e train step + particle-sharded step
-    (all_gather strategy) + halo-exchange particle-sharded step."""
+    (all_gather strategy) + halo-exchange particle-sharded step (brute AND
+    grid backends — the grid run exercises the per-shard table build with
+    `points_valid` halo masking) + a reference-scale (13,824-particle
+    lattice) grid halo step."""
     result = run_e2e_step(n_devices, sharded=True)
     assert np.isfinite(result["loss"]), result
     assert np.all(np.isfinite(result["next_pos"]))
     ref_pos, sh_pos, ref_nn, sh_nn = run_particle_sharded_step(n_devices)
     np.testing.assert_array_equal(ref_nn, sh_nn)
     np.testing.assert_allclose(ref_pos, sh_pos, atol=1e-5)
-    h_ref, h_sh, h_rnn, h_snn, h_diag = run_halo_particle_step(n_devices)
-    assert not h_diag["grid_overflow"], h_diag  # halo must be sufficient here
-    np.testing.assert_array_equal(h_rnn, h_snn)
-    np.testing.assert_allclose(h_ref, h_sh, atol=1e-5)
+    for backend in ("brute", "grid"):
+        h_ref, h_sh, h_rnn, h_snn, h_diag = run_halo_particle_step(
+            n_devices, search_backend=backend
+        )
+        assert not h_diag["grid_overflow"], (backend, h_diag)
+        np.testing.assert_array_equal(h_rnn, h_snn)
+        np.testing.assert_allclose(h_ref, h_sh, atol=1e-5)
+    l_ref, l_sh, l_rnn, l_snn, l_diag = run_halo_lattice_step(n_devices)
+    assert not l_diag["grid_overflow"], l_diag
+    np.testing.assert_array_equal(l_rnn, l_snn)
+    np.testing.assert_allclose(l_ref, l_sh, atol=1e-4)
     print(
         f"dryrun_multichip({n_devices}): e2e loss={result['loss']:.6f}, "
         f"particle-sharded step matches replicated (max diff "
         f"{np.abs(ref_pos - sh_pos).max():.2e}), halo-exchange step matches "
-        f"replicated (max diff {np.abs(h_ref - h_sh).max():.2e})"
+        f"replicated on brute+grid backends (max diff "
+        f"{np.abs(h_ref - h_sh).max():.2e}), 13.8k-particle lattice grid halo "
+        f"matches (max diff {np.abs(l_ref - l_sh).max():.2e})"
     )

@@ -173,6 +173,8 @@ class E2ETrainer(TrainerBase):
             fluid_neighbor_k=int(cfg.TRAIN.get("fluid_neighbor_k", 64)),
             obstacle_neighbor_k=int(cfg.TRAIN.get("obstacle_neighbor_k", 48)),
             grid_max_per_cell=int(cfg.TRAIN.get("grid_max_per_cell", 32)),
+            query_chunk=int(cfg.TRAIN.get("query_chunk", 4096)),
+            conv_precision=cfg.TRAIN.get("conv_precision", "highest"),
         )
         self.renderer = build_renderer(cfg)
 

@@ -29,6 +29,16 @@ from neurofluid_tpu.utils.logging import MetricsLogger, to8b
 
 class TrainerBase:
     def __init__(self, cfg):
+        # persistent compilation cache: trainer programs are large (the TPU
+        # AOT service takes minutes on a cold e2e step) and identical across
+        # stage restarts/resumes — every trainer should hit the cache, not
+        # only bench/tools (round-3 VERDICT item 5)
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/nf_tpu_jax_cache"),
+            )
         self.cfg = cfg
         self.exppath = osp.join(cfg.expdir, cfg.expname)
         self.imgpath = osp.join(self.exppath, "images")

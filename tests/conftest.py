@@ -27,7 +27,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache to amortize XLA:CPU compiles across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/nf_tpu_jax_cache")
+# The dir is keyed by the host's CPU feature set: XLA:CPU AOT blobs embed
+# machine features, and /tmp outlives VM migrations here — loading an entry
+# compiled on a previous (different-featured) host SIGABRTs the process.
+import hashlib  # noqa: E402
+
+
+def _cpu_cache_dir():
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith("flags")), "unknown"
+            )
+    except OSError:
+        flags = "unknown"
+    tag = hashlib.md5(flags.encode()).hexdigest()[:10]
+    return f"/tmp/nf_cpu_jax_cache_{tag}"
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

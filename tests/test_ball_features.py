@@ -198,6 +198,7 @@ def test_assemble_features_matches_list_path_math(rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rendernet_dense_matches_list_when_under_k(rng):
     """Full renderer forward: dense path == list path wherever count <= K
     (the selection rules coincide there)."""
@@ -235,6 +236,7 @@ def test_rendernet_dense_matches_list_when_under_k(rng):
         )
 
 
+@pytest.mark.slow
 def test_rendernet_dense_gradients_flow_to_particles(rng):
     from neurofluid_tpu.models.render_net import RenderNet
 
@@ -277,6 +279,7 @@ def test_block_sums_loop_matches_vectorized(rng):
     np.testing.assert_allclose(np.asarray(loop), np.asarray(vec), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_interpret_matches_xla(rng):
     """Tiny end-to-end pin of the Pallas kernels (interpret mode on CPU)
     against the XLA backend, forward AND backward."""

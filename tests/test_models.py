@@ -106,6 +106,7 @@ class TestParticleNet:
             atol=5e-5,
         )
 
+    @pytest.mark.slow
     def test_gradients_flow_to_positions_and_params(self, rng):
         pos, vel, box, nrm = _scene(rng, n=40, m=10)
         net = ParticleNet(search_backend="brute")
@@ -127,6 +128,7 @@ class TestParticleNet:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(np.any(np.asarray(l) != 0) for l in leaves)
 
+    @pytest.mark.slow
     def test_overflow_flagged_on_compressed_state(self, rng):
         """A compressed state (denser than grid_max_per_cell allows) must set
         diag['grid_overflow'] — the silent-candidate-drop failure mode."""
@@ -206,6 +208,7 @@ class TestRenderNet:
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         return jnp.asarray(np.concatenate([o, d], -1))
 
+    @pytest.mark.slow
     def test_full_render_shapes(self, rng):
         model = _tiny_renderer()
         particles = jnp.asarray(rng.uniform(-0.3, 0.3, size=(100, 3)).astype(np.float32))
@@ -221,6 +224,7 @@ class TestRenderNet:
         for v in out.values():
             assert np.all(np.isfinite(np.asarray(v)))
 
+    @pytest.mark.slow
     def test_empty_scene_renders_white(self, rng):
         """use_mask zeroes sigma outside the fluid; empty space -> white."""
         model = _tiny_renderer()
@@ -235,6 +239,7 @@ class TestRenderNet:
         np.testing.assert_allclose(np.asarray(out["rgb1"]), 1.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out["mask_0"]), 0.0)
 
+    @pytest.mark.slow
     def test_mask_semantics_requires_full_k(self, rng):
         """A sample with 0 < n < K neighbors is masked out (torch.all)."""
         model = _tiny_renderer(num_neighbors=20, use_mask=True)
@@ -247,6 +252,7 @@ class TestRenderNet:
         np.testing.assert_allclose(np.asarray(out["mask_0"]), 0.0)
         np.testing.assert_allclose(np.asarray(out["rgb0"]), 1.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_coarse_and_fine_rendering_paths(self, rng):
         model = _tiny_renderer()
         particles = jnp.asarray(rng.uniform(-0.3, 0.3, size=(80, 3)).astype(np.float32))
@@ -267,6 +273,7 @@ class TestRenderNet:
             np.asarray(coarse["rgb0"]), np.asarray(full["rgb0"]), atol=1e-6
         )
 
+    @pytest.mark.slow
     def test_gradients_flow_to_particles(self, rng):
         """Image loss -> particle positions: the core NeuroFluid property."""
         model = _tiny_renderer(num_neighbors=4, use_mask=False)

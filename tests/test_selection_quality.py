@@ -17,6 +17,9 @@ recall ~0.95); the exact pytorch3d-faithful mode is `sort`. Two guarantees:
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # statistical selection-quality sweeps
 
 from neurofluid_tpu.models.render_net import RenderNet
 

@@ -146,6 +146,7 @@ def _tiny_renderer_cfg():
 
 
 class TestWarmupTrainer:
+    @pytest.mark.slow
     def test_few_steps_reduce_loss(self, tiny_scene, tmp_path):
         from neurofluid_tpu.utils.config import ConfigNode
         from neurofluid_tpu.train.warmup import WarmupTrainer
@@ -172,6 +173,7 @@ class TestWarmupTrainer:
 
 
 class TestE2ETrainer:
+    @pytest.mark.slow
     def test_train_and_resume(self, tiny_scene, tmp_path):
         from neurofluid_tpu.utils.config import ConfigNode
         from neurofluid_tpu.train.e2e import E2ETrainer
@@ -227,6 +229,7 @@ class TestOverflowPolicy:
 
 
 class TestE2ESingleOptimizer:
+    @pytest.mark.slow
     def test_transition_follows_renderer_boundaries(self, tiny_scene, tmp_path):
         """seperate_render_transition=False = the reference's single-Adam
         mode (reference trainer_e2e.py:71-86): both groups keep their base
@@ -326,6 +329,7 @@ class TestTransitionTrainer:
 
 
 class TestResumeScheduleOffset:
+    @pytest.mark.slow
     def test_warmup_resume_continues_lr_schedule(self, tiny_scene, tmp_path):
         """Round-1 weak item: resume-at-step -> schedule-offset interaction.
 

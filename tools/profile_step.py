@@ -97,7 +97,10 @@ def report_csv(logdir: str, top: int = 45):
     # 'Total time (us)', 'Avg. time (us)', ...
     cat_i = next(i for c, i in idx.items() if "category" in c.lower())
     name_i = next(i for c, i in idx.items() if "expression" in c.lower() or "name" in c.lower())
-    time_keys = [c for c in cols if "time" in c.lower() and "total" in c.lower()]
+    # SELF time: while-op "total time" double-counts loop bodies
+    time_keys = [c for c in cols if "total self time (us)" == c.lower()] or [
+        c for c in cols if "time" in c.lower() and "total" in c.lower()
+    ]
     time_i = idx[time_keys[0]]
 
     def val(row, i):
