@@ -252,7 +252,14 @@ def _cell_terms(qx, qy, qz, rx, ry, rz, off, radius: float, k: int):
     cap = rx.shape[-1]
     f32 = jnp.float32
     r2 = radius * radius
-    triu = jnp.triu(jnp.ones((cap, cap), f32))  # rank[j] = sum_{i<=j} w[i]
+    # bf16 operands are EXACT here: the indicator matrix and the triangular
+    # ones-matrix hold only 0/1 (bf16-representable), every product is 0/1,
+    # and the f32 accumulator sums <= cap <= 128 of them — while the MXU runs
+    # bf16 4-8x faster than f32 on v5e (the rank matmuls dominated the
+    # kernel's device time before this cast).
+    # (bool -> bf16 casts go through f32: Mosaic cannot relayout the i1
+    # mask's (8,128) tiling to bf16's (16,128) directly)
+    triu = jnp.triu(jnp.ones((cap, cap), f32)).astype(jnp.bfloat16)
 
     dx = rx - qx  # (T, cap)
     dy = ry - qy
@@ -261,7 +268,8 @@ def _cell_terms(qx, qy, qz, rx, ry, rz, off, radius: float, k: int):
     within = d2 < r2  # strict: pytorch3d ball_query convention
     wf = within.astype(f32)
     rank = jax.lax.dot_general(
-        wf, triu, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        wf.astype(jnp.bfloat16), triu,
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
     )
     cnt = rank[:, cap - 1 : cap]
     sel = within & ((off + rank) <= float(k))
@@ -321,15 +329,18 @@ def _block_sums_vec(q, cx, cy, cz, radius: float, k: int):
     within = d2 < radius * radius
     wf = within.astype(f32)
 
-    tri_inc = jnp.triu(jnp.ones((cap, cap), f32))  # rank[j] = sum_{i<=j}
+    # bf16 operands exact for 0/1 indicators and integer counts <= 256
+    # (see _cell_terms); f32 accumulation keeps the sums exact.
+    tri_inc = jnp.triu(jnp.ones((cap, cap), f32)).astype(jnp.bfloat16)
     rank = jax.lax.dot_general(
-        wf.reshape(t * n_off, cap), tri_inc,
+        wf.reshape(t * n_off, cap).astype(jnp.bfloat16), tri_inc,
         (((1,), (0,)), ((), ())), preferred_element_type=f32,
     ).reshape(t, n_off, cap)
     cnt = rank[:, :, cap - 1]
-    tri_exc = jnp.triu(jnp.ones((n_off, n_off), f32), k=1)
+    tri_exc = jnp.triu(jnp.ones((n_off, n_off), f32), k=1).astype(jnp.bfloat16)
     off = jax.lax.dot_general(
-        cnt, tri_exc, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        cnt.astype(jnp.bfloat16), tri_exc,
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
     )
     sel = within & ((off[:, :, None] + rank) <= float(k))
     sf = sel.astype(f32)

@@ -9,22 +9,26 @@ top-k, no payload gathers. The candidate tables are small (container-hugging
 grid, ~1.6k cells x 128 slots x 4B = 0.8 MB per coordinate) and stay
 VMEM-resident across the whole grid.
 
-GRID SHAPE (round 3): the kernels iterate a 2-D grid (group-blocks x 27
-cells) instead of unrolling all 27 cell bodies inside one program. The
-running cross-cell selection offset is carried in VMEM scratch across the
-(sequential, innermost) cell dimension, and the output block — whose index
-map ignores the cell dimension — acts as the accumulator. This cut the
-Mosaic program ~27x: round 2's unrolled kernels compiled in ~5.5 min
-(train-step total 328 s, VERDICT r2) and forced GPB=1; the grid form
-compiles in seconds and lets GPB amortize per-iteration overhead.
+LOOP SHAPE (round 3): the 27-cell walk is a `lax.fori_loop` INSIDE the
+kernel body (running cross-cell selection offset and the sum accumulator as
+loop carries), not 27 unrolled cell bodies and not a second grid dimension.
+Rationale, measured on v5e:
+- round 2 unrolled 27 bodies per program: right runtime shape, but Mosaic
+  compile time scales with unrolled body count (train-step compile 328 s,
+  GPB pinned to 1);
+- a (groups x cells) 2-D grid with scratch accumulators compiled fast but
+  ran ~1.7x SLOWER (27x more grid iterations, each with bookkeeping and a
+  revisited-output hazard);
+- fori_loop keeps ONE grid iteration per group block (round-2 runtime) with
+  a single compiled cell body (fast compile), and GPB amortizes dispatch.
 
 Cross-cell coupling is ONLY through the discrete selection budget `off`
 (sel = within & (off + rank <= k)): booleans carry no gradient, so the
 backward kernel can differentiate one cell at a time with `off` held fixed
 — exactly jax.vjp of ball_features._cell_terms per (group, cell), emitting
-per-group-reduced cotangents for that cell's candidate row. ops/ball_features
-finishes with a monotone segment-sum over groups (queries sorted by cell) and
-27 static shifted adds — scatter-free end to end.
+per-group-reduced cotangents into that cell's slot of the output block.
+ops/ball_features finishes with a monotone segment-sum over groups (queries
+sorted by cell) and 27 static shifted adds — scatter-free end to end.
 
 Both kernels share `ball_features._cell_terms` with the XLA reference
 backend, so the implementations are the same math by construction; tests
@@ -44,23 +48,27 @@ from neurofluid_tpu.ops import ball_features as bf
 
 N_SUMS = bf.N_SUMS
 N_SUMS_PAD = bf.N_SUMS_PAD
-GPB = 8       # groups per program block: amortizes per-grid-step overhead;
-              # compile cost is now GPB x ONE cell body (vs GPB x 27 before)
+GPB = 8       # groups per program block (amortizes per-program dispatch;
+              # program size is GPB x UNROLL cell bodies)
 GPB_BWD = 4   # backward carries jax.vjp residuals per group — keep smaller
+# fori_loop unroll factor for the 27-cell walk: 1 = minimal compile but the
+# loop-carried (acc, off) chain serializes MXU/VPU work; 27 = round-2 fully
+# unrolled runtime but Mosaic compile scales with body count. Tuned on v5e
+# via tools/kernel_microbench.py.
+UNROLL = 3
+UNROLL_BWD = 3
 
 
-def _cell_row(gcell_ref, g, o, dims):
-    """Neighbor-table row id for group g's cell at cell-offset index o,
-    from the prefetched per-group cell id with scalar arithmetic.
-    Out-of-grid offsets and the sentinel cell map to the all-invalid
-    sentinel row (= num_cells)."""
+def _row_for_cell(c, o, dims):
+    """Neighbor-table row id for cell id `c` at cell-offset index `o`
+    (scalar arithmetic; out-of-grid offsets and the sentinel cell map to the
+    all-invalid sentinel row = num_cells)."""
     d0, d1, d2 = dims
     num_cells = d0 * d1 * d2
     ox = o // 9 - 1
     oy = (o // 3) % 3 - 1
     oz = o % 3 - 1
     delta = ox * d1 * d2 + oy * d2 + oz
-    c = gcell_ref[g]
     cz = jax.lax.rem(c, d2)
     cy = jax.lax.rem(jax.lax.div(c, d2), d1)
     cx = jax.lax.div(c, d1 * d2)
@@ -78,28 +86,59 @@ def _pad_groups(ng, gpb):
 
 
 def _fwd_kernel(rows_ref, qx_ref, qy_ref, qz_ref, tx_ref, ty_ref, tz_ref,
-                out_ref, off_ref, *, radius: float, k: int, t: int,
-                dims: tuple):
+                out_ref, *, radius: float, k: int, t: int, dims: tuple):
     gb = pl.program_id(0)
-    o = pl.program_id(1)
-
-    @pl.when(o == 0)
-    def _init():
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-        off_ref[...] = jnp.zeros(off_ref.shape, off_ref.dtype)
-
+    d0, d1, d2 = dims
+    num_cells = d0 * d1 * d2
     for j in range(GPB):
         g = gb * GPB + j
-        row = _cell_row(rows_ref, g, o, dims)
-        rx = tx_ref[pl.ds(row, 1), :]  # (1, cap)
-        ry = ty_ref[pl.ds(row, 1), :]
-        rz = tz_ref[pl.ds(row, 1), :]
-        off = off_ref[j]
-        sums, cnt = bf._cell_terms(
-            qx_ref[j], qy_ref[j], qz_ref[j], rx, ry, rz, off, radius, k
-        )  # (T, N_SUMS_PAD), (T, 1)
-        out_ref[j : j + 1, :, :] += sums.reshape(1, t, N_SUMS_PAD)
-        off_ref[j] = off + cnt
+        c = rows_ref[g]
+        qx, qy, qz = qx_ref[j], qy_ref[j], qz_ref[j]  # (T, 1) each
+
+        # the static group bound is capacity/T + num_cells + 2 (every cell
+        # may own one partial group); unused tail groups carry the sentinel
+        # cell — skip their whole 27-cell walk (30-40% of slots at the bench
+        # working point)
+        @pl.when(c == num_cells)
+        def _skip():
+            out_ref[j : j + 1, :, :] = jnp.zeros(
+                (1, t, N_SUMS_PAD), out_ref.dtype
+            )
+
+        @pl.when(c < num_cells)
+        def _run():
+            _fwd_group(rows_ref, out_ref, c, qx, qy, qz,
+                       tx_ref, ty_ref, tz_ref, j, radius, k, t, dims)
+
+
+def _fwd_group(rows_ref, out_ref, c, qx, qy, qz, tx_ref, ty_ref, tz_ref,
+               j, radius, k, t, dims):
+        def body(i, carry):
+            # UNROLL cell bodies per iteration, hand-rolled: Mosaic's
+            # fori_loop lowering only supports unroll=1 or full unroll, but
+            # unroll=1 serializes the per-cell MXU/VPU work on the (acc, off)
+            # carry chain (measured 81 ms fwd at the bench point vs ~14 ms
+            # partially unrolled — tools/kernel_microbench.py).
+            acc, off = carry
+            for u in range(UNROLL):
+                row = _row_for_cell(c, i * UNROLL + u, dims)
+                rx = tx_ref[pl.ds(row, 1), :]  # (1, cap)
+                ry = ty_ref[pl.ds(row, 1), :]
+                rz = tz_ref[pl.ds(row, 1), :]
+                sums, cnt = bf._cell_terms(
+                    qx, qy, qz, rx, ry, rz, off, radius, k
+                )
+                acc = acc + sums
+                off = off + cnt
+            return acc, off
+
+        assert 27 % UNROLL == 0
+        acc, _off = jax.lax.fori_loop(
+            0, 27 // UNROLL, body,
+            (jnp.zeros((t, N_SUMS_PAD), jnp.float32),
+             jnp.zeros((t, 1), jnp.float32)),
+        )
+        out_ref[j : j + 1, :, :] = acc.reshape(1, t, N_SUMS_PAD)
 
 
 def forward(q_rep, tx, ty, tz, gcell, dims, radius, k, t,
@@ -119,20 +158,17 @@ def forward(q_rep, tx, ty, tz, gcell, dims, radius, k, t,
     qy_in = q3[:, :, 1:2]
     qz_in = q3[:, :, 2:3]
 
-    qspec = pl.BlockSpec((GPB, t, 1), lambda g, o, rows: (g, 0, 0))
+    qspec = pl.BlockSpec((GPB, t, 1), lambda g, rows: (g, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ngp // GPB, 27),
+        grid=(ngp // GPB,),
         in_specs=[
             qspec, qspec, qspec,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (GPB, t, N_SUMS_PAD), lambda g, o, rows: (g, 0, 0)
-        ),
-        scratch_shapes=[pltpu.VMEM((GPB, t, 1), jnp.float32)],
+        out_specs=pl.BlockSpec((GPB, t, N_SUMS_PAD), lambda g, rows: (g, 0, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, radius=float(radius), k=int(k),
@@ -145,35 +181,54 @@ def forward(q_rep, tx, ty, tz, gcell, dims, radius, k, t,
 
 
 def _bwd_kernel(rows_ref, qx_ref, qy_ref, qz_ref, cot_ref, tx_ref, ty_ref,
-                tz_ref, out_ref, off_ref, *, radius: float, k: int, t: int,
+                tz_ref, out_ref, *, radius: float, k: int, t: int,
                 dims: tuple):
     gb = pl.program_id(0)
-    o = pl.program_id(1)
-
-    @pl.when(o == 0)
-    def _init():
-        off_ref[...] = jnp.zeros(off_ref.shape, off_ref.dtype)
-
+    d0, d1, d2 = dims
+    num_cells = d0 * d1 * d2
     for j in range(GPB_BWD):
         g = gb * GPB_BWD + j
-        row = _cell_row(rows_ref, g, o, dims)
-        rx = tx_ref[pl.ds(row, 1), :]
-        ry = ty_ref[pl.ds(row, 1), :]
-        rz = tz_ref[pl.ds(row, 1), :]
+        c = rows_ref[g]
         qx, qy, qz = qx_ref[j], qy_ref[j], qz_ref[j]
-        off = off_ref[j]
         cot = cot_ref[j]  # (T, N_SUMS_PAD); pad-column cotangents are inert
 
-        def f(a, b, c):
-            return bf._cell_terms(qx, qy, qz, a, b, c, off, radius, k)
+        # sentinel tail groups (see _fwd_kernel): zero their cotangent block
+        # and skip the 27-cell vjp walk
+        @pl.when(c == num_cells)
+        def _skip():
+            out_ref[j, :, :, :] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
 
-        (_sums, cnt), vjp = jax.vjp(f, rx, ry, rz)
-        da, db, dc = vjp((cot, jnp.zeros_like(cnt)))  # 3 x (1, cap)
-        cap = da.shape[-1]
-        out_ref[j : j + 1, 0:1, :, :] = jnp.concatenate(
-            [da, db, dc], axis=0
-        ).reshape(1, 1, 3, cap)
-        off_ref[j] = off + cnt
+        @pl.when(c < num_cells)
+        def _run():
+            _bwd_group(out_ref, c, qx, qy, qz, cot, tx_ref, ty_ref, tz_ref,
+                       j, radius, k, t, dims)
+
+
+def _bwd_group(out_ref, c, qx, qy, qz, cot, tx_ref, ty_ref, tz_ref,
+               j, radius, k, t, dims):
+        def body(i, off):
+            for u in range(UNROLL_BWD):
+                o = i * UNROLL_BWD + u
+                row = _row_for_cell(c, o, dims)
+                rx = tx_ref[pl.ds(row, 1), :]
+                ry = ty_ref[pl.ds(row, 1), :]
+                rz = tz_ref[pl.ds(row, 1), :]
+
+                def f(a, b, c_):
+                    return bf._cell_terms(qx, qy, qz, a, b, c_, off, radius, k)
+
+                (_sums, cnt), vjp = jax.vjp(f, rx, ry, rz)
+                da, db, dc = vjp((cot, jnp.zeros_like(cnt)))  # 3 x (1, cap)
+                cap = da.shape[-1]
+                out_ref[j, pl.ds(o, 1), :, :] = jnp.concatenate(
+                    [da, db, dc], axis=0
+                ).reshape(1, 3, cap)
+                off = off + cnt
+            return off
+
+        assert 27 % UNROLL_BWD == 0
+        jax.lax.fori_loop(0, 27 // UNROLL_BWD, body,
+                          jnp.zeros((t, 1), jnp.float32))
 
 
 def backward(q_rep, cot_rep, tx, ty, tz, gcell, dims, radius, k, t,
@@ -198,21 +253,20 @@ def backward(q_rep, cot_rep, tx, ty, tz, gcell, dims, radius, k, t,
         ((0, ngp - ng), (0, 0), (0, N_SUMS_PAD - N_SUMS)),
     )
 
-    qspec = pl.BlockSpec((GPB_BWD, t, 1), lambda g, o, rows: (g, 0, 0))
+    qspec = pl.BlockSpec((GPB_BWD, t, 1), lambda g, rows: (g, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ngp // GPB_BWD, 27),
+        grid=(ngp // GPB_BWD,),
         in_specs=[
             qspec, qspec, qspec,
-            pl.BlockSpec((GPB_BWD, t, N_SUMS_PAD), lambda g, o, rows: (g, 0, 0)),
+            pl.BlockSpec((GPB_BWD, t, N_SUMS_PAD), lambda g, rows: (g, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (GPB_BWD, 1, 3, cap), lambda g, o, rows: (g, o, 0, 0)
+            (GPB_BWD, 27, 3, cap), lambda g, rows: (g, 0, 0, 0)
         ),
-        scratch_shapes=[pltpu.VMEM((GPB_BWD, t, 1), jnp.float32)],
     )
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, radius=float(radius), k=int(k),

@@ -1,9 +1,11 @@
-"""Full reference-protocol run on TPU at 400x400 (round-2 VERDICT item 4).
+"""Full reference-protocol run on TPU at 400x400 (round-2 VERDICT item 1).
 
 Reproduces the reference experiment shape (configs/end2end.yaml:14-46,
 configs/dataset.yaml, eval_e2e.py:122-130) on the synthetic watercube-like
-scene (no DFSPH binary exists on this box; data_generation provides the
-driver when one is installed):
+scene. Round 3: the scene's ground truth comes from the PBF fluid simulator
+(data/synthetic.py::simulate_pbf — incompressible sloshing, the stand-in for
+the reference's DFSPH, reference create_physics_scenes.py:257-263), not the
+ballistic fallback, so pred2gt is reported on fluid-like dynamics:
 
   scene:      50 train + 10 rollout frames, ~14k particles, 400x400 images,
               4 warmup views + 1 dynamic view + 1 test view, near 9 / far 13
@@ -15,7 +17,7 @@ driver when one is installed):
               400x400 renders of test frames with PSNR/SSIM (LPIPS needs a
               weights file, utils/lpips.py)
 
-Writes PROTOCOL_R2.json at the repo root. Iteration counts are scaled to a
+Writes PROTOCOL_R3.json at the repo root. Iteration counts are scaled to a
 ~2 h budget (the reference trains 100k warmup iters / 20k e2e epochs over
 days); the point here is the full pipeline at full resolution with honest
 metrics, not paper-level convergence.
@@ -36,7 +38,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/nf_tpu_jax_cache")
 
 import numpy as np
 
-ROOT = "/tmp/protocol_r2"
+ROOT = os.environ.get("PROTO_ROOT", "/tmp/protocol_r3")
 SCENE = osp.join(ROOT, "scene")
 WARMUP_ITERS = int(os.environ.get("PROTO_WARMUP_ITERS", 2000))
 TRANS_EPOCHS = int(os.environ.get("PROTO_TRANS_EPOCHS", 3))
@@ -79,7 +81,7 @@ def main():
     t_start = time.time()
     results = {"config": {
         "warmup_iters": WARMUP_ITERS, "trans_epochs": TRANS_EPOCHS,
-        "e2e_epochs": E2E_EPOCHS, "img": 400,
+        "e2e_epochs": E2E_EPOCHS, "img": 400, "sim": "pbf",
         "n_samples": 64, "n_importance": 128, "ray_chunk": 1024,
     }}
 
@@ -88,7 +90,7 @@ def main():
         generate_blender_scene(
             SCENE, n_frames=61, n_side=24, img_wh=(400, 400),
             train_views=("view_1", "view_2", "view_3", "view_4"),
-            test_views=("view_5",),
+            test_views=("view_5",), method="pbf",
         )
     print(f"[{time.time()-t_start:.0f}s] scene ready", flush=True)
 
@@ -232,7 +234,7 @@ def main():
     results["total_wall_s"] = time.time() - t_start
 
     with open(osp.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PROTOCOL_R2.json"), "w") as f:
+            os.path.abspath(__file__))), "PROTOCOL_R3.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results["image_metrics_summary"]), flush=True)
     print("PROTOCOL RUN COMPLETE", flush=True)

@@ -28,7 +28,10 @@ def capture(logdir: str, steps: int):
     from neurofluid_tpu.train.e2e import make_e2e_train_step
 
     pos, vel, box, nrm, ro, rays, rgbs = bench.build_problem()
-    transition = ParticleNet(gravity=(0.0, 0.0, -9.81))
+    transition = ParticleNet(
+        gravity=(0.0, 0.0, -9.81),
+        conv_precision=bench.CONV_PRECISION, query_chunk=bench.QUERY_CHUNK,
+    )
     renderer = RenderNet()
     key = jax.random.PRNGKey(0)
     args = [jnp.asarray(x) for x in (pos, vel, box, nrm)]
@@ -56,6 +59,68 @@ def capture(logdir: str, steps: int):
         out = step(*carry, *inputs)
         jax.block_until_ready(out)
         carry = out[:4]
+    jax.profiler.stop_trace()
+
+
+def capture_transition(logdir: str, steps: int):
+    """Trace the transition-only trainer step (bench.py metric 2 shape)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import bench
+    from neurofluid_tpu.models.particle_net import ParticleNet
+    from neurofluid_tpu.train import losses
+
+    pos, vel, box, nrm, *_ = bench.build_problem()
+    net = ParticleNet(
+        gravity=(0.0, 0.0, -9.81),
+        conv_precision=bench.CONV_PRECISION, query_chunk=bench.QUERY_CHUNK,
+    )
+    key = jax.random.PRNGKey(0)
+    args = [jnp.asarray(x) for x in (pos, vel, box, nrm)]
+    params = net.init(key, *args)
+    topt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    opt_state = topt.init(params)
+    bounds = losses.default_box_bounds()
+    box_grid = net.make_grid(args[2])
+
+    def t_train_step(params, opt_state, pos0, vel0, pos1, pos2, box_, nrm_,
+                     box_grid_):
+        @jax.checkpoint
+        def one_step(p, pp, vv):
+            return net.apply(p, pp, vv, box_, nrm_, return_diag=True,
+                             box_grid=box_grid_)
+
+        def loss_fn(p):
+            pred1, v1, nn1, diag1 = one_step(p, pos0, vel0)
+            pred2, v2, nn2, diag2 = one_step(p, pred1, v1)
+            l1 = losses.weighted_mse_loss(pred1, pos1, nn1)
+            l2 = losses.weighted_mse_loss(pred2, pos2, nn2)
+            total = (0.5 * l1 + 0.5 * l2
+                     + losses.boundary_loss(pred1, bounds)
+                     + losses.boundary_loss(pred2, bounds))
+            ov = jnp.logical_or(diag1["grid_overflow"], diag2["grid_overflow"])
+            return total, ov
+
+        (loss, ov), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = topt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, ov
+
+    tstep = jax.jit(t_train_step, donate_argnums=(0, 1))
+    pos1_t, pos2_t = args[0] + 0.001, args[0] + 0.002
+    out = tstep(params, opt_state, args[0], jnp.asarray(vel), pos1_t, pos2_t,
+                args[2], args[3], box_grid)
+    jax.block_until_ready(out)
+    params, opt_state = out[0], out[1]
+
+    jax.profiler.start_trace(logdir)
+    for _ in range(steps):
+        out = tstep(params, opt_state, args[0], jnp.asarray(vel), pos1_t,
+                    pos2_t, args[2], args[3], box_grid)
+        jax.block_until_ready(out)
+        params, opt_state = out[0], out[1]
     jax.profiler.stop_trace()
 
 
@@ -149,9 +214,14 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--logdir", default="/tmp/nf_trace")
     ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--transition", action="store_true",
+                    help="trace the transition-only trainer step instead")
     ap.add_argument("--top", type=int, default=45)
     args = ap.parse_args()
     if not args.report_only:
         os.makedirs(args.logdir, exist_ok=True)
-        capture(args.logdir, args.steps)
+        if args.transition:
+            capture_transition(args.logdir, args.steps)
+        else:
+            capture(args.logdir, args.steps)
     report_csv(args.logdir, args.top)
