@@ -35,9 +35,33 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from neurofluid_tpu.ops import cconv as cconv_ops
 from neurofluid_tpu.ops import neighbor_search as ns
 from neurofluid_tpu.ops import segment_ops
+
+
+def _name_static(nbrs: "ns.NeighborList", plan):
+    """Tag the non-differentiable neighbor products as named residuals.
+
+    The transition trainer remats each rollout step (HBM), but the searches,
+    adjoint-plan sorts and tap-corner indices inside are DISCRETE — their
+    gradients are zero by construction, so recomputing them in the backward
+    (the default under plain `jax.checkpoint`) buys no memory for the
+    autodiff chain and costs the full search again. Tagging them lets the
+    trainer's `save_only_these_names("nbr_static")` policy keep exactly
+    these (a few (N, K) int32 arrays, ~tens of MB) while everything
+    float-differentiable is still rematerialized."""
+
+    def tag(x):
+        return checkpoint_name(x, "nbr_static")
+
+    nbrs = nbrs._replace(
+        idx=tag(nbrs.idx), mask=tag(nbrs.mask), count=tag(nbrs.count)
+    )
+    plan = plan._replace(order=tag(plan.order), starts=tag(plan.starts))
+    return nbrs, plan
 
 
 class ContinuousConvLayer(nn.Module):
@@ -332,6 +356,11 @@ class ParticleNet(nn.Module):
         # (Open3D op, reference models/transmodel.py:116-131)
         fluid_plan = segment_ops.adjoint_plan(fluid_nbrs.idx, all_pos_new.shape[0])
         box_plan = segment_ops.adjoint_plan(box_nbrs.idx, box.shape[0])
+        # tag BEFORE first use: downstream consumers (geometry, convs) must
+        # read the tagged values or their backward recompute would re-run
+        # the searches and plan sorts they feed on
+        fluid_nbrs, fluid_plan = _name_static(fluid_nbrs, fluid_plan)
+        box_nbrs, box_plan = _name_static(box_nbrs, box_plan)
         geo_args = dict(kernel_size=self.kernel_size, use_window=True,
                         align_corners=True)
         fl_corner, fl_tapw = cconv_ops.cconv_geometry(
@@ -340,6 +369,8 @@ class ParticleNet(nn.Module):
         bx_corner, bx_tapw = cconv_ops.cconv_geometry(
             box, pos_new, box_nbrs, extent, plan=box_plan, **geo_args
         )
+        fl_corner = checkpoint_name(fl_corner, "nbr_static")
+        bx_corner = checkpoint_name(bx_corner, "nbr_static")
 
         conv_args = dict(kernel_size=self.kernel_size,
                          query_chunk=self.query_chunk,

@@ -17,6 +17,7 @@ a `lax.scan` over frames with donated state buffers.
 
 from __future__ import annotations
 
+import functools
 import os
 import os.path as osp
 
@@ -141,8 +142,18 @@ class TransitionTrainer(TrainerBase):
             # residuals (the one-hot tap expansions dominate) alive for the
             # backward exceeds v5e HBM at reference particle counts (~26 GB
             # compiled); recomputing in the backward trades ~1 extra forward
-            # for fitting comfortably
-            @jax.checkpoint
+            # for fitting comfortably. The "nbr_static" policy exempts the
+            # DISCRETE search products (neighbor ids, adjoint-sort plans,
+            # tap corners — see particle_net._name_static): they carry no
+            # gradient, cost only ~tens of MB to keep, and their recompute
+            # is the single most expensive part of the step (grid build +
+            # candidate scan + selection, twice per backward).
+            @functools.partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "nbr_static"
+                ),
+            )
             def one_step(p, pos, vel):
                 return net.apply(
                     p, pos, vel, box, nrm, return_diag=True, box_grid=box_grid

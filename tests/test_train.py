@@ -327,6 +327,50 @@ class TestTransitionTrainer:
         avg = tr.eval(1, save_obj=False)
         assert np.isfinite(avg)
 
+    def test_remat_policy_matches_plain_checkpoint(self, rng):
+        """The trainer's save_only_these_names("nbr_static") remat policy
+        (train/transition.py) must not change gradients vs plain
+        jax.checkpoint — it only exempts the discrete search products
+        (particle_net._name_static) from backward recompute."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from neurofluid_tpu.models.particle_net import ParticleNet
+
+        net = ParticleNet(
+            search_backend="grid", fluid_neighbor_k=16,
+            obstacle_neighbor_k=16, grid_max_per_cell=16,
+            gravity=(0, 0, -9.81),
+        )
+        pos = jnp.asarray(rng.uniform(-0.5, 0.5, (128, 3)), jnp.float32)
+        vel = jnp.asarray(rng.normal(size=(128, 3)) * 0.1, jnp.float32)
+        box = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)), jnp.float32)
+        nrm = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+        params = net.init(jax.random.key(0), pos, vel, box, nrm)
+
+        def grads_with(ck):
+            one = ck(lambda p, x, v: net.apply(p, x, v, box, nrm))
+
+            def loss(p):
+                p1, v1, nn = one(p, pos, vel)
+                p2, v2, _ = one(p, p1, v1)
+                return jnp.sum(p2**2) + jnp.sum(v2**2) + jnp.sum(nn)
+
+            return jax.grad(loss)(params)
+
+        ga = jax.jit(lambda: grads_with(jax.checkpoint))()
+        policy = functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.save_only_these_names("nbr_static"),
+        )
+        gb = jax.jit(lambda: grads_with(policy))()
+        la, lb = jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
+        assert max(float(jnp.max(jnp.abs(a))) for a in la) > 0
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(a, b, atol=2e-6)
+
 
 class TestResumeScheduleOffset:
     @pytest.mark.slow
