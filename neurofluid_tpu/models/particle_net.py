@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from neurofluid_tpu.ops import cconv as cconv_ops
+from neurofluid_tpu.ops import fused_query
 from neurofluid_tpu.ops import neighbor_search as ns
 from neurofluid_tpu.ops import segment_ops
 
@@ -58,7 +59,8 @@ def _name_static(nbrs: "ns.NeighborList", plan):
         return checkpoint_name(x, "nbr_static")
 
     nbrs = nbrs._replace(
-        idx=tag(nbrs.idx), mask=tag(nbrs.mask), count=tag(nbrs.count)
+        idx=tag(nbrs.idx), mask=tag(nbrs.mask), count=tag(nbrs.count),
+        xyz=None if nbrs.xyz is None else tuple(tag(c) for c in nbrs.xyz),
     )
     plan = plan._replace(order=tag(plan.order), starts=tag(plan.starts))
     return nbrs, plan
@@ -193,6 +195,25 @@ class ParticleNet(nn.Module):
         backend = self.search_backend
         if backend == "auto":
             backend = "grid" if points.shape[0] >= 4096 else "brute"
+        if backend == "fused" and points_valid is None and self.shard_axis is None:
+            # order-insensitive compact search (ops/fused_query): one Pallas
+            # kernel, no top-k sort, no candidate-wide payload extraction.
+            # The conv sums are permutation-invariant so the selection-order
+            # deviation is inert whenever count <= k; count > k raises the
+            # cap_exceeded flag exactly as with the ordered path. Halo
+            # sharding keeps the generic grid path (valid-mask support).
+            if grid is None:
+                cell = max(radius, 1e-6)
+                grid = ns.build_cell_grid(
+                    points, self.grid_lower, self.grid_upper, cell,
+                    max_per_cell=self.grid_max_per_cell,
+                )
+            return fused_query.ball_query_compact(
+                queries, grid, self.grid_lower, self.grid_upper, radius, k,
+                exclude_self=exclude_self,
+            )
+        if backend == "fused":
+            backend = "grid"  # halo / valid-mask paths
         if backend == "grid" or grid is not None:
             if grid is None:
                 cell = max(radius, 1e-6)
