@@ -393,8 +393,9 @@ class E2ETrainer(TrainerBase):
             jnp.asarray(d0["box"]), jnp.asarray(d0["box_normals"]),
             n_steps,
         )
-        self.check_search_overflow(
-            rollout_diag["grid_overflow"], step_idx, "e2e-eval-rollout"
+        self.last_rollout_overflow = self.check_search_overflow(
+            rollout_diag["grid_overflow"], step_idx, "e2e-eval-rollout",
+            fatal=False,
         )
         traj = np.asarray(traj)
         fluid_errors = FluidErrors()

@@ -62,7 +62,8 @@ class TrainerBase:
     # search-health policy
     # ------------------------------------------------------------------
 
-    def check_search_overflow(self, flag, step, context: str):
+    def check_search_overflow(self, flag, step, context: str,
+                              fatal: bool = True):
         """Enforce the neighbor-search overflow policy.
 
         `flag` is the (host-fetched) boolean emitted by the models' search
@@ -71,9 +72,17 @@ class TrainerBase:
         reference semantics are uncapped. Static shapes make silent
         auto-regrow impossible inside jit, so the policy is fail-loudly:
         raise (default) or warn when cfg TRAIN.on_search_overflow == 'warn'.
+
+        `fatal=False` is for EVAL rollouts: a weakly-trained model may
+        legitimately diverge during a long autoregressive rollout (the
+        reference's uncapped search would roll such a state out happily,
+        reference eval_e2e.py:58-76); the overflow is LOGGED and recorded —
+        never silent — but evaluating a bad model must not kill a
+        multi-hour protocol run whose metric will honestly report the
+        divergence anyway. Returns True when overflow was present.
         """
         if not bool(np.asarray(flag)):
-            return
+            return False
         msg = (
             f"neighbor-search overflow at step {step} ({context}): a cell "
             "grid bucket or fixed-K neighborhood exceeded its static cap, so "
@@ -82,11 +91,12 @@ class TrainerBase:
             "the relevant cap) and restart."
         )
         policy = str(self.cfg.TRAIN.get("on_search_overflow", "raise"))
-        if policy == "warn":
+        if policy == "warn" or not fatal:
             print(f"WARNING: {msg}")
             self.logger.scalar(f"overflow/{context}", 1.0, step)
         else:
             raise RuntimeError(msg)
+        return True
 
     def eval_chunk_size(self) -> int:
         """Ray-chunk size for full-image eval renders. The training chunk

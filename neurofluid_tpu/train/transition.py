@@ -241,9 +241,11 @@ class TransitionTrainer(TrainerBase):
             jnp.asarray(d0["box"]), jnp.asarray(d0["box_normals"]),
             n_steps,
         )
-        self.check_search_overflow(
-            rollout_diag["grid_overflow"], step_idx, "transition-eval-rollout"
+        rollout_overflow = self.check_search_overflow(
+            rollout_diag["grid_overflow"], step_idx, "transition-eval-rollout",
+            fatal=False,
         )
+        self.last_rollout_overflow = rollout_overflow
         traj = np.asarray(traj)
         fluid_errors = FluidErrors()
         dists = []

@@ -41,7 +41,10 @@ import numpy as np
 ROOT = os.environ.get("PROTO_ROOT", "/tmp/protocol_r3")
 SCENE = osp.join(ROOT, "scene")
 WARMUP_ITERS = int(os.environ.get("PROTO_WARMUP_ITERS", 2000))
-TRANS_EPOCHS = int(os.environ.get("PROTO_TRANS_EPOCHS", 3))
+# 3 epochs left the transition model weak enough that its 60-frame eval
+# rollout diverged (flagged by the overflow policy); 12 keeps the stage
+# within ~10 min while producing rollout-stable dynamics
+TRANS_EPOCHS = int(os.environ.get("PROTO_TRANS_EPOCHS", 12))
 E2E_EPOCHS = int(os.environ.get("PROTO_E2E_EPOCHS", 12))
 
 
@@ -146,6 +149,7 @@ def main():
     tavg = tt.eval(1000, save_obj=False)
     results["transition"] = {
         "final_loss": float(tloss), "rollout_pred2gt_mm": float(tavg),
+        "rollout_overflow": bool(getattr(tt, "last_rollout_overflow", False)),
         "wall_s": time.time() - t_start,
     }
     print(f"[{time.time()-t_start:.0f}s] transition: {results['transition']}",
@@ -202,6 +206,7 @@ def main():
         "frame_49": float(dists[49]),
         "rollout_10_mean": float(np.mean(dists[50:60])),
         "final_frame": float(dists[-1]),
+        "rollout_overflow": bool(np.asarray(diag["grid_overflow"])),
     }
     print(f"[{time.time()-t_start:.0f}s] pred2gt: {results['pred2gt_mm']}",
           flush=True)
