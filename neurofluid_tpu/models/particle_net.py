@@ -80,7 +80,8 @@ class ContinuousConvLayer(nn.Module):
     precision: str = "highest"  # 'highest' (f32-exact) | 'high' (bf16_3x)
 
     @nn.compact
-    def __call__(self, feats, neighbors, corner, tapw, plan=None):
+    def __call__(self, feats, neighbors, corner, tapw, plan=None,
+                 tap_matrix=None):
         in_ch = feats.shape[-1]
         kz, ky, kx = self.kernel_size
         # glorot over (receptive taps * in_ch, taps * out_ch) — conv-style fan
@@ -105,6 +106,7 @@ class ContinuousConvLayer(nn.Module):
             query_chunk=self.query_chunk,
             plan=plan,
             precision=getattr(jax.lax.Precision, self.precision.upper()),
+            tap_matrix=tap_matrix,
         )
         return out + bias
 
@@ -397,8 +399,13 @@ class ParticleNet(nn.Module):
                          query_chunk=self.query_chunk,
                          precision=self.conv_precision)
         c0 = self.layer_channels[0]
+        # the fluid tap matrix is shared by all FOUR fluid conv layers (the
+        # box list feeds one layer only — not worth materializing its tw)
+        kz, ky, kx = self.kernel_size
+        fl_tw = cconv_ops.cconv_tap_matrix(fl_corner, fl_tapw, kz * ky * kx)
         ans_fluid = ContinuousConvLayer(c0, name="conv0_fluid", **conv_args)(
-            all_fluid_feats, fluid_nbrs, fl_corner, fl_tapw, plan=fluid_plan
+            all_fluid_feats, fluid_nbrs, None, None, plan=fluid_plan,
+            tap_matrix=fl_tw,
         )
         ans_obstacle = ContinuousConvLayer(c0, name="conv0_obstacle", **conv_args)(
             box_feats, box_nbrs, bx_corner, bx_tapw, plan=box_plan
@@ -411,7 +418,8 @@ class ParticleNet(nn.Module):
         for i, ch in enumerate(self.layer_channels[1:], start=1):
             inp = nn.relu(h)
             ans_conv = ContinuousConvLayer(ch, name=f"conv{i}", **conv_args)(
-                extend_feats(inp), fluid_nbrs, fl_corner, fl_tapw, plan=fluid_plan
+                extend_feats(inp), fluid_nbrs, None, None, plan=fluid_plan,
+                tap_matrix=fl_tw,
             )
             ans_d = nn.Dense(ch, name=f"dense{i}")(inp)
             if ch == h.shape[-1]:

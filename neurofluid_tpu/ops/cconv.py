@@ -204,20 +204,42 @@ def cconv_geometry(
     return corner, w8 * w[..., None]
 
 
+def cconv_tap_matrix(corner: jax.Array, tapw: jax.Array, num_taps: int):
+    """Dense per-pair tap weights tw (Q, K, T): tw[q,k,t] = sum_j
+    tapw[q,k,j] * [corner[q,k,j] == t].
+
+    This tensor depends on POSITIONS only — a ParticleNet step runs 4 conv
+    layers over the same fluid neighbor list, and rebuilding tw per layer
+    (8 one-hot broadcast-multiply-adds over (Q, K, T)) was pure waste:
+    compute it once per neighbor list and feed every layer's
+    `continuous_conv_apply(..., tap_matrix=...)`. Differentiable w.r.t.
+    positions through `tapw`."""
+    tw = jnp.zeros(corner.shape[:2] + (num_taps,), tapw.dtype)
+    for j in range(corner.shape[-1]):
+        oh = jax.nn.one_hot(corner[:, :, j], num_taps, dtype=tapw.dtype)
+        tw = tw + oh * tapw[:, :, j][..., None]
+    return tw
+
+
 def _cconv_apply_chunk(chunk, filters: jax.Array, num_taps: int,
                        precision=jax.lax.Precision.HIGHEST):
     """One query chunk: corner (C,K,8), tapw (C,K,8), feats (C,K,Cin)
-    -> out (C, Cout)."""
+    -> out (C, Cout). corner/tapw may instead be (tw, None) with tw a
+    precomputed (C, K, T) tap matrix (see cconv_tap_matrix)."""
     corner, tapw, feats_nb = chunk
-    # tap weights accumulated over the 8 trilinear corners WITHOUT ever
-    # materializing the (C, K, 8, T) one-hot tensor — at reference particle
-    # counts that tensor (stacked across lax.map chunks for the backward)
-    # was the single largest allocation of the transition train step (2 GB
-    # unpadded, 4 GB padded) and blew v5e HBM in the 2-step-rollout trainer
-    tw = jnp.zeros(corner.shape[:2] + (num_taps,), feats_nb.dtype)  # (C,K,T)
-    for j in range(corner.shape[-1]):
-        oh = jax.nn.one_hot(corner[:, :, j], num_taps, dtype=feats_nb.dtype)
-        tw = tw + oh * tapw[:, :, j][..., None]
+    if tapw is None:
+        tw = corner
+    else:
+        # tap weights accumulated over the 8 trilinear corners WITHOUT ever
+        # materializing the (C, K, 8, T) one-hot tensor — at reference
+        # particle counts that tensor (stacked across lax.map chunks for the
+        # backward) was the single largest allocation of the transition train
+        # step (2 GB unpadded, 4 GB padded) and blew v5e HBM in the
+        # 2-step-rollout trainer
+        tw = jnp.zeros(corner.shape[:2] + (num_taps,), feats_nb.dtype)
+        for j in range(corner.shape[-1]):
+            oh = jax.nn.one_hot(corner[:, :, j], num_taps, dtype=feats_nb.dtype)
+            tw = tw + oh * tapw[:, :, j][..., None]
     # precision=HIGHEST keeps the contraction inputs in full f32: the default
     # (bf16 operands on the MXU) loses ~1e-3 on the physics features, which is
     # too coarse for the position-gradient path the simulator depends on.
@@ -248,11 +270,14 @@ def continuous_conv_apply(
     query_chunk: int = 4096,
     plan=None,
     precision=jax.lax.Precision.HIGHEST,
+    tap_matrix: jax.Array | None = None,
 ) -> jax.Array:
     """Contract per-layer features against precomputed conv geometry.
 
     filters (kz, ky, kx, Cin, Cout); corner/tapw from `cconv_geometry`;
-    feats (N, Cin) input features gathered at neighbors.idx.
+    feats (N, Cin) input features gathered at neighbors.idx. When
+    `tap_matrix` (Q, K, T) is given (cconv_tap_matrix — shared across every
+    layer convolving the same neighbor list), corner/tapw are ignored.
     """
     kz, ky, kx = kernel_size
     num_taps = kz * ky * kx
@@ -268,28 +293,41 @@ def continuous_conv_apply(
         gathered = segment_ops.take_rows(feats, safe_idx)
     nb_feats = jnp.where(neighbors.mask[..., None], gathered, 0.0)
 
-    q = corner.shape[0]
+    if tap_matrix is not None:
+        geom = (tap_matrix,)
+    else:
+        geom = (corner, tapw)
+    q = nb_feats.shape[0]
     chunk = min(query_chunk, max(q, 1))
     n_chunks = max(1, -(-q // chunk))
     pad = n_chunks * chunk - q
+
+    def chunk_fn(args):
+        *g, fc = args
+        if len(g) == 1:
+            return _cconv_apply_chunk(
+                (g[0], None, fc), filters=filters_flat, num_taps=num_taps,
+                precision=precision,
+            )
+        return _cconv_apply_chunk(
+            (g[0], g[1], fc), filters=filters_flat, num_taps=num_taps,
+            precision=precision,
+        )
 
     # remat each chunk: lax.map otherwise STACKS every chunk's conv
     # intermediates as backward residuals (n_chunks x the per-chunk
     # footprint); recomputing the cheap contraction in the backward keeps
     # the peak at one chunk
-    fn = jax.checkpoint(functools.partial(
-        _cconv_apply_chunk, filters=filters_flat, num_taps=num_taps,
-        precision=precision,
-    ))
+    fn = jax.checkpoint(chunk_fn)
     if n_chunks == 1:
-        return fn((corner, tapw, nb_feats))
+        return fn(geom + (nb_feats,))
 
     def pad_r(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)).reshape(
             (n_chunks, chunk) + x.shape[1:]
         )
 
-    chunks = (pad_r(corner), pad_r(tapw), pad_r(nb_feats))
+    chunks = tuple(pad_r(x) for x in geom) + (pad_r(nb_feats),)
     return jax.lax.map(fn, chunks).reshape(-1, cout)[:q]
 
 
