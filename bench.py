@@ -43,6 +43,9 @@ N_VIEWS = 1
 # production perf knobs (env-overridable for sweeps)
 CONV_PRECISION = os.environ.get("NF_BENCH_CONV_PRECISION", "high")
 QUERY_CHUNK = int(os.environ.get("NF_BENCH_QUERY_CHUNK", 16384))
+# transition-model neighbor search: 'auto' (grid at 14k), 'grid', 'brute',
+# or 'fused' (ops/fused_query one-kernel compact lists)
+SEARCH_BACKEND = os.environ.get("NF_BENCH_SEARCH", "auto")
 
 
 def build_problem():
@@ -131,6 +134,7 @@ def main():
     transition = ParticleNet(
         gravity=(0.0, 0.0, -9.81),
         conv_precision=CONV_PRECISION, query_chunk=QUERY_CHUNK,
+        search_backend=SEARCH_BACKEND,
     )
     renderer = RenderNet()  # reference working point: 64+128 samples, K=20
 
@@ -202,9 +206,17 @@ def main():
     t_opt_state = topt.init(t_params)
     bounds = losses.default_box_bounds()
 
+    import functools
+
     def t_train_step(params, opt_state, pos0, vel0, pos1, pos2, box_, nrm_,
                      box_grid_):
-        @jax.checkpoint
+        # same remat policy as the real trainer (train/transition.py):
+        # keep the DISCRETE search products across the remat boundary so the
+        # backward never re-runs grid build + candidate scan + selection
+        @functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.save_only_these_names("nbr_static"),
+        )
         def one_step(p, pp, vv):
             return net_t.apply(p, pp, vv, box_, nrm_, return_diag=True,
                                box_grid=box_grid_)

@@ -389,10 +389,13 @@ class RenderNet(nn.Module):
         perturb: float = 0.0,
         noise_std: float = 0.0,
         white_background: bool = True,
+        grid=None,
     ) -> dict:
         """Full coarse + fine render of a ray batch (reference renderer.py:211-270).
 
         particles (N, 3); ro (3,) camera origin; rays (R, 6).
+        `grid`: optional prebuilt `CellGrid` over `particles` (build_grid) —
+        chunked full-image renders build it once instead of per chunk.
         Returns the reference's result dict: rgb0/depth0/opacity0/num_nn_0/
         mask_0 and rgb1/... when n_importance > 0.
         """
@@ -400,7 +403,8 @@ class RenderNet(nn.Module):
 
         results = {}
         n_rays = rays.shape[0]
-        grid = self._shared_grid(particles)
+        if grid is None:
+            grid = self._shared_grid(particles)
         z0, xyz0 = ray_ops.coarse_sample_rays(
             self.near, self.far, rays, self.n_samples, perturb=perturb, key=keys[0]
         )

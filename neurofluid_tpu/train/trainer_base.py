@@ -132,17 +132,65 @@ class TrainerBase:
     # ------------------------------------------------------------------
 
     def make_chunk_renderer(self, model, params_label="renderer", chunk=1024,
-                            method=None):
+                            method=None, use_scan=None):
         """Returns render_full(params, particles, ro, rays_flat) -> dict of
-        stacked outputs, evaluating one fixed-shape jitted chunk at a time."""
+        stacked outputs.
+
+        Two execution shapes:
+        - `use_scan=True` (default for the plain forward): ONE jitted program
+          that `lax.scan`s over fixed-`chunk` ray blocks and builds the
+          particle search grid once. A 400x400 eval image is a single
+          dispatch instead of 79 sequential blocking dispatches (each paying
+          the per-dispatch latency of the remote-TPU path); the per-block
+          shape stays `chunk`, below the 4096-ray LLO RET_CHECK threshold
+          documented at `eval_chunk_size`.
+        - `use_scan=False` (and method-renders, whose signatures don't take
+          a prebuilt grid): the python-loop fallback, one jitted chunk at a
+          time.
+        """
+        if use_scan is None:
+            use_scan = method is None
 
         @jax.jit
         def render_chunk(params, particles, ro, rays):
             return model.apply(params, particles, ro, rays, method=method)
 
+        @jax.jit
+        def render_scanned(params, particles, ro, rays_chunks):
+            grid = model._shared_grid(particles)
+
+            def body(carry, rays):
+                return carry, model.apply(
+                    params, particles, ro, rays, method=method, grid=grid
+                )
+
+            _, outs = jax.lax.scan(body, None, rays_chunks)
+            return outs
+
         def render_full(params, particles, ro, rays_flat):
             n = rays_flat.shape[0]
             n_chunks = -(-n // chunk)
+            pad_n = n_chunks * chunk - n
+            if use_scan:
+                rays_np = np.asarray(rays_flat, np.float32)
+                if pad_n:
+                    rays_np = np.concatenate(
+                        [rays_np, np.zeros((pad_n, 6), rays_np.dtype)]
+                    )
+                stacked = render_scanned(
+                    params, particles, ro,
+                    jnp.asarray(rays_np.reshape(n_chunks, chunk, 6)),
+                )
+                merged = {}
+                for k, v in stacked.items():
+                    v = np.asarray(v)
+                    if v.ndim == 1:  # per-chunk scalar diagnostics
+                        merged[k] = v
+                        continue
+                    flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])
+                    factor = flat.shape[0] // (n_chunks * chunk)
+                    merged[k] = flat[: n * factor] if factor >= 1 else flat
+                return merged
             outs = []
             for i in range(n_chunks):
                 part = np.asarray(rays_flat[i * chunk : (i + 1) * chunk])

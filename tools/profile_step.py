@@ -46,9 +46,10 @@ def capture(logdir: str, steps: int):
         donate_argnums=(0, 1, 2, 3),
     )
     carry = (params_r, params_t, opt_r.init(params_r), opt_t.init(params_t))
+    box_grid = transition.make_grid(jnp.asarray(box))
     inputs = (
         jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(box), jnp.asarray(nrm),
-        jnp.asarray(ro), jnp.asarray(rays), jnp.asarray(rgbs),
+        jnp.asarray(ro), jnp.asarray(rays), jnp.asarray(rgbs), box_grid,
     )
     out = step(*carry, *inputs)
     jax.block_until_ready(out)
@@ -76,6 +77,7 @@ def capture_transition(logdir: str, steps: int):
     net = ParticleNet(
         gravity=(0.0, 0.0, -9.81),
         conv_precision=bench.CONV_PRECISION, query_chunk=bench.QUERY_CHUNK,
+        search_backend=bench.SEARCH_BACKEND,
     )
     key = jax.random.PRNGKey(0)
     args = [jnp.asarray(x) for x in (pos, vel, box, nrm)]
@@ -87,7 +89,11 @@ def capture_transition(logdir: str, steps: int):
 
     def t_train_step(params, opt_state, pos0, vel0, pos1, pos2, box_, nrm_,
                      box_grid_):
-        @jax.checkpoint
+        import functools
+        @functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.save_only_these_names("nbr_static"),
+        )
         def one_step(p, pp, vv):
             return net.apply(p, pp, vv, box_, nrm_, return_diag=True,
                              box_grid=box_grid_)
