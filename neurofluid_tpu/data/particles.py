@@ -45,6 +45,13 @@ class ParticleDataset:
         self.start = start
         self.end = end
         self._rng = np.random.default_rng(seed)
+        # windows contributed by each source sequence (sim dir / view dir),
+        # in collection order. `items` concatenates the sequences, so an
+        # autoregressive consumer that wants ONE physical sequence (the
+        # reference eval rolls out a single sim, reference
+        # eval_transmodel.py:101-154) must stop at sequence_lengths[0] —
+        # 'blender_all' repeats the same frames once per view dir.
+        self.sequence_lengths: list[int] = []
         if data_type == "raw":
             self.items = self._collect_raw()
         elif data_type == "blender":
@@ -88,9 +95,10 @@ class ParticleDataset:
             paths = glob.glob(osp.join(sim_dir, "output", "fluid_*.npz"))
             paths = _sorted_by_int(paths, lambda x: int(x.split("_")[-1][:-4]))
             paths = paths[self.start : self.end]
-            samples += self._frame_samples(
-                paths, self._box_path(sim_dir), keep_last=False
-            )
+            seq = self._frame_samples(paths, self._box_path(sim_dir), keep_last=False)
+            if seq:
+                self.sequence_lengths.append(len(seq))
+            samples += seq
         return samples
 
     def _collect_blender(self, view_dirs, box_path, keep_last):
@@ -101,7 +109,10 @@ class ParticleDataset:
                 continue
             paths = _sorted_by_int(paths, lambda x: int(osp.basename(x)[:-4]))
             paths = paths[self.start : self.end]
-            samples += self._frame_samples(paths, box_path, keep_last=keep_last)
+            seq = self._frame_samples(paths, box_path, keep_last=keep_last)
+            if seq:
+                self.sequence_lengths.append(len(seq))
+            samples += seq
         return samples
 
     def __len__(self) -> int:

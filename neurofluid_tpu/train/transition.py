@@ -234,7 +234,13 @@ class TransitionTrainer(TrainerBase):
     def eval(self, step_idx, save_obj: bool = True):
         self.eval_count += 1
         d0 = self.test_dataset[0]
-        n_steps = len(self.test_dataset)
+        # roll out ONE physical sequence (reference eval_transmodel.py:101-154
+        # evaluates a single sim). len(dataset) would concatenate sequences:
+        # with 'blender_all' the same frames appear once per view dir, and an
+        # autoregressive rollout across the seam is nonphysical.
+        n_steps = (self.test_dataset.sequence_lengths[0]
+                   if getattr(self.test_dataset, "sequence_lengths", None)
+                   else len(self.test_dataset))
         traj, rollout_diag = self.rollout(
             self.params,
             jnp.asarray(d0["particles_pos_0"]), jnp.asarray(d0["particles_vel_0"]),

@@ -161,6 +161,20 @@ class TestParticleDataset:
         d = ds[0]
         np.testing.assert_allclose(d["particles_pos_0"], meta["positions"][0])
 
+    def test_sequence_lengths_split_view_duplicates(self, blender_scene,
+                                                    raw_dataset_dir):
+        # blender_all repeats the same frames once per view dir; an
+        # autoregressive consumer must be able to stop at ONE sequence
+        root, _ = blender_scene
+        ds = ParticleDataset(root, data_type="blender_all", start=0, end=5,
+                             random_rot=False, window=3)
+        assert sum(ds.sequence_lengths) == len(ds)
+        assert len(set(ds.sequence_lengths)) == 1  # equal-length view copies
+        assert len(ds.sequence_lengths) > 1
+        raw = ParticleDataset(raw_dataset_dir, data_type="raw", start=0, end=6,
+                              random_rot=False, window=3)
+        assert raw.sequence_lengths == [3, 3]
+
 
 class TestIO:
     def test_obj_roundtrip(self, tmp_path, rng):
