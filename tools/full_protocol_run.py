@@ -55,7 +55,7 @@ def scene_cfg(n_frames=61):
         train=dict(start_index=0, end_index=50, path=SCENE,
                    views=dict(warmup=["view_1", "view_2", "view_3", "view_4"],
                               dynamic=["view_1"])),
-        test=dict(start_index=0, end_index=60, path=SCENE, views=["view_5"]),
+        test=dict(start_index=0, end_index=61, path=SCENE, views=["view_5"]),
     )
 
 
@@ -82,11 +82,19 @@ def main():
     from neurofluid_tpu.utils.metrics import psnr as psnr_np, ssim as ssim_np
 
     t_start = time.time()
+    out_json = osp.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PROTOCOL_R3.json")
     results = {"config": {
         "warmup_iters": WARMUP_ITERS, "trans_epochs": TRANS_EPOCHS,
         "e2e_epochs": E2E_EPOCHS, "img": 400, "sim": "pbf",
         "n_samples": 64, "n_importance": 128, "ray_chunk": 1024,
     }}
+
+    def flush_results():
+        # progressive checkpointing of the report: a crash in a later stage
+        # must not lose earlier stages' numbers
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=2)
 
     if not osp.isdir(SCENE):
         os.makedirs(ROOT, exist_ok=True)
@@ -113,7 +121,7 @@ def main():
                    imgW=400, imgH=400, scale=1.0,
                    LR=dict(lr=5e-4, use_scheduler=True, decay_epochs=10000),
                    pretrained_renderer="", partial_load=False),
-        TEST=dict(imgW=400, imgH=400, scale=1.0, start_index=0, end_index=60),
+        TEST=dict(imgW=400, imgH=400, scale=1.0, start_index=0, end_index=61),
         RENDERER=renderer_cfg(),
         **scene_cfg(),
     ))
@@ -128,6 +136,7 @@ def main():
         "wall_s": time.time() - t_start,
     }
     print(f"[{time.time()-t_start:.0f}s] warmup: {results['warmup']}", flush=True)
+    flush_results()
 
     # ------------------------------------------------------------ transition
     cfg = ConfigNode(dict(
@@ -144,23 +153,35 @@ def main():
                                  eval=SCENE, eval_datatype="blender_all")),
     ))
     tt = TransitionTrainer(cfg)
-    tloss = tt.train(n_epochs=TRANS_EPOCHS)
-    tt.save_checkpoint(1000)
+    tr_models = osp.join(ROOT, "exps", "transition", "models")
+    if osp.isdir(tr_models) and os.listdir(tr_models):
+        print(f"[{time.time()-t_start:.0f}s] resuming transition from "
+              f"{tr_models}", flush=True)
+        tt.resume(tr_models)
+        tloss = None  # fully resumed, no training this run
+    else:
+        tloss = tt.train(n_epochs=TRANS_EPOCHS)
+        tt.save_checkpoint(1000)
     tavg = tt.eval(1000, save_obj=False)
     results["transition"] = {
-        "final_loss": float(tloss), "rollout_pred2gt_mm": float(tavg),
+        "final_loss": None if tloss is None else float(tloss),
+        "rollout_pred2gt_mm": float(tavg),
         "rollout_overflow": bool(getattr(tt, "last_rollout_overflow", False)),
         "wall_s": time.time() - t_start,
     }
     print(f"[{time.time()-t_start:.0f}s] transition: {results['transition']}",
           flush=True)
+    flush_results()
 
     # ------------------------------------------------------------------- e2e
     cfg = ConfigNode(dict(
         expdir=osp.join(ROOT, "exps"), expname="e2e", resume_from="",
         TRAIN=dict(seed=10, epochs=E2E_EPOCHS, precrop_iters=0,
                    save_interval=10**7, log_interval=100,
-                   imgW=400, imgH=400, scale=1.0, grad_clip_value=0,
+                   # clip as the reference e2e does (trainer_e2e.py update
+                   # step clips both param sets); the unclipped first run
+                   # blew up in the final epoch (loss 0.004 -> 0.27)
+                   imgW=400, imgH=400, scale=1.0, grad_clip_value=1.0,
                    LR=dict(trans_lr=1e-5, renderer_lr=3e-4, use_scheduler=True),
                    loss_weight=dict(boundary_loss=1.0),
                    fluid_neighbor_k=128, obstacle_neighbor_k=64,
@@ -168,7 +189,7 @@ def main():
                    pretrained_renderer=wt.modelpath,
                    pretrained_transition_model=tt.modelpath,
                    partial_load=False, search_backend="grid"),
-        TEST=dict(imgW=400, imgH=400, scale=1.0, start_index=0, end_index=60),
+        TEST=dict(imgW=400, imgH=400, scale=1.0, start_index=0, end_index=61),
         RENDERER=renderer_cfg(),
         **scene_cfg(),
     ))
@@ -178,6 +199,7 @@ def main():
     results["e2e"] = {"final_loss": float(eloss),
                       "wall_s": time.time() - t_start}
     print(f"[{time.time()-t_start:.0f}s] e2e: {results['e2e']}", flush=True)
+    flush_results()
 
     # ------------------------------------------------------------------ eval
     # reference eval_e2e.py:58-130: autoregressive rollout over all 60 test
@@ -210,9 +232,12 @@ def main():
     }
     print(f"[{time.time()-t_start:.0f}s] pred2gt: {results['pred2gt_mm']}",
           flush=True)
+    flush_results()
 
-    # render a spread of test frames at full 400x400
-    frames = [0, 10, 25, 49, 54, 59]
+    # render a spread of test frames at full 400x400 (clamped to the
+    # dataset: 61 generated frames -> 60 transitions -> indices 0..n_steps-1)
+    frames = sorted({t if t < n_steps else n_steps - 1
+                     for t in (0, 10, 25, 49, 54, 59)})
     metrics = {"trained": [], "rollout": []}
     for t in frames:
         data = et.test_dataset[t]
