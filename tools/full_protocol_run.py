@@ -45,7 +45,15 @@ WARMUP_ITERS = int(os.environ.get("PROTO_WARMUP_ITERS", 2000))
 # rollout diverged (flagged by the overflow policy); 12 keeps the stage
 # within ~10 min while producing rollout-stable dynamics
 TRANS_EPOCHS = int(os.environ.get("PROTO_TRANS_EPOCHS", 12))
-E2E_EPOCHS = int(os.environ.get("PROTO_E2E_EPOCHS", 12))
+E2E_EPOCHS = int(os.environ.get("PROTO_E2E_EPOCHS", 6))
+# The reference fine-tunes the renderer at 3e-4 assuming a transition model
+# pretrained to ~mm accuracy (50k iters over 270 DFSPH sims). At this
+# budget-scaled transition quality the carried training states drift to
+# ~0.5 m by late epochs, and 3e-4 lets those frames destroy the warmup
+# renderer (measured: test-view PSNR 32.5 -> 15.3 even on GT particles,
+# clipped or not). 1e-4 over 6 epochs keeps the renderer within its warmup
+# basin while the image gradients still fine-tune the transition model.
+E2E_RENDERER_LR = float(os.environ.get("PROTO_E2E_RLR", 1e-4))
 
 
 def scene_cfg(n_frames=61):
@@ -88,6 +96,7 @@ def main():
         "warmup_iters": WARMUP_ITERS, "trans_epochs": TRANS_EPOCHS,
         "e2e_epochs": E2E_EPOCHS, "img": 400, "sim": "pbf",
         "n_samples": 64, "n_importance": 128, "ray_chunk": 1024,
+        "e2e_renderer_lr": E2E_RENDERER_LR, "e2e_grad_clip": 1.0,
     }}
 
     def flush_results():
@@ -182,7 +191,8 @@ def main():
                    # step clips both param sets); the unclipped first run
                    # blew up in the final epoch (loss 0.004 -> 0.27)
                    imgW=400, imgH=400, scale=1.0, grad_clip_value=1.0,
-                   LR=dict(trans_lr=1e-5, renderer_lr=3e-4, use_scheduler=True),
+                   LR=dict(trans_lr=1e-5, renderer_lr=E2E_RENDERER_LR,
+                           use_scheduler=True),
                    loss_weight=dict(boundary_loss=1.0),
                    fluid_neighbor_k=128, obstacle_neighbor_k=64,
                    grid_max_per_cell=64,
