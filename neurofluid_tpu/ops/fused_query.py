@@ -34,6 +34,15 @@ there is no backward kernel to write, compile, or pay for.
 
 Backends: 'xla' (shares `_cell_compact` verbatim — correctness reference,
 runs anywhere) and 'pallas' (TPU). 'auto' picks pallas on TPU.
+
+TPU STATUS (round 3): experimental, not the production default. On a real
+v5e the kernel at the ParticleNet working point (K=64, cap=32, group T=32)
+exhausts VMEM: the grouping allocates one output row per PADDED group
+(~12k groups for 14,336 queries over an 11.5k-cell grid), and Mosaic
+stacks the (T, K, cap) one-hot scatter per group. Making this win needs
+occupancy-compacted grouping (emit rows only for non-empty cells) and a
+lane-reduction emission that never materializes the one-hot — follow-up
+work; `ParticleNet.search_backend='grid'` remains the measured-fast path.
 """
 
 from __future__ import annotations
@@ -49,7 +58,9 @@ from neurofluid_tpu.ops import ball_features as bf
 from neurofluid_tpu.ops import neighbor_search as ns
 from neurofluid_tpu.ops import pallas_features as pf
 
-GPB = 4      # groups per program block (4 payload accumulators per group)
+GPB = 1      # groups per program block. 4 put four groups' (T, K, cap)
+             # one-hot scatter tensors on the Mosaic stack at once and ran
+             # v5e VMEM out at the transition working point (K=64, cap=32)
 UNROLL = 3   # 27-cell fori_loop partial unroll (see pallas_features)
 _SENTINEL = bf._SENTINEL
 
@@ -103,7 +114,10 @@ def _cell_compact(qx, qy, qz, rx, ry, rz, ridx, off, radius: float, k: int,
     # emission is an elementwise product + lane reduction — no gather, no
     # sort. K sits on the sublane axis of the (K, cap) tile and lands on
     # lanes after the reduction, matching the (T, K) output layout.
-    iota_k = jax.lax.broadcasted_iota(f32, (t, k, cap), 1)
+    # integer iota + cast: Mosaic's tpu.iota only produces integer vectors
+    # (a float broadcasted_iota verifies fine in interpret mode but fails
+    # to lower on real TPU)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k, cap), 1).astype(f32)
     oh = ((slot[:, None, :] == iota_k) & sel[:, None, :]).astype(f32)
 
     def emit(val_row):  # (1, cap) -> (T, K)
