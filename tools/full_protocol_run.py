@@ -45,15 +45,16 @@ WARMUP_ITERS = int(os.environ.get("PROTO_WARMUP_ITERS", 2000))
 # rollout diverged (flagged by the overflow policy); 12 keeps the stage
 # within ~10 min while producing rollout-stable dynamics
 TRANS_EPOCHS = int(os.environ.get("PROTO_TRANS_EPOCHS", 12))
-E2E_EPOCHS = int(os.environ.get("PROTO_E2E_EPOCHS", 6))
+E2E_EPOCHS = int(os.environ.get("PROTO_E2E_EPOCHS", 2))
 # The reference fine-tunes the renderer at 3e-4 assuming a transition model
 # pretrained to ~mm accuracy (50k iters over 270 DFSPH sims). At this
 # budget-scaled transition quality the carried training states drift to
 # ~0.5 m by late epochs, and 3e-4 lets those frames destroy the warmup
 # renderer (measured: test-view PSNR 32.5 -> 15.3 even on GT particles,
 # clipped or not). 1e-4 over 6 epochs keeps the renderer within its warmup
-# basin while the image gradients still fine-tune the transition model.
-E2E_RENDERER_LR = float(os.environ.get("PROTO_E2E_RLR", 1e-4))
+# keeps the renderer in its warmup basin while image gradients still
+# fine-tune the transition model.
+E2E_RENDERER_LR = float(os.environ.get("PROTO_E2E_RLR", 3e-5))
 
 
 def scene_cfg(n_frames=61):
