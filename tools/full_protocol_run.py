@@ -51,9 +51,9 @@ E2E_EPOCHS = int(os.environ.get("PROTO_E2E_EPOCHS", 2))
 # budget-scaled transition quality the carried training states drift to
 # ~0.5 m by late epochs, and 3e-4 lets those frames destroy the warmup
 # renderer (measured: test-view PSNR 32.5 -> 15.3 even on GT particles,
-# clipped or not). 1e-4 over 6 epochs keeps the renderer within its warmup
-# keeps the renderer in its warmup basin while image gradients still
-# fine-tune the transition model.
+# clipped or not). 3e-5 over 2 epochs — the best of four measured attempts
+# (BASELINE.md) — keeps the renderer in its warmup basin while image
+# gradients still fine-tune the transition model.
 E2E_RENDERER_LR = float(os.environ.get("PROTO_E2E_RLR", 3e-5))
 
 
