@@ -167,15 +167,34 @@ class TrainerBase:
             _, outs = jax.lax.scan(body, None, rays_chunks)
             return outs
 
+        def _trim(flat, k, n, n_chunks):
+            # outputs are either per-ray (dim0 = n_chunks * chunk) or
+            # per-sample (dim0 = n_chunks * chunk * S); trim the final
+            # chunk's padding either way. Anything else is a bug in the
+            # model's output contract — fail loudly, never pass through.
+            total = n_chunks * chunk
+            if flat.shape[0] % total != 0:
+                raise ValueError(
+                    f"render output '{k}' has leading dim {flat.shape[0]}, "
+                    f"not a multiple of rays {total} — per-ray/per-sample "
+                    "output contract violated"
+                )
+            factor = flat.shape[0] // total
+            return flat[: n * factor]
+
         def render_full(params, particles, ro, rays_flat):
             n = rays_flat.shape[0]
             n_chunks = -(-n // chunk)
             pad_n = n_chunks * chunk - n
+            # pad by REPEATING the last real ray (never zeros): a zero-
+            # direction ray is degenerate — its fine-pass PDF normalization
+            # can emit NaNs and it would trip the untrimmed per-chunk
+            # diagnostics (e.g. overflow flags) on garbage geometry
             if use_scan:
                 rays_np = np.asarray(rays_flat, np.float32)
                 if pad_n:
                     rays_np = np.concatenate(
-                        [rays_np, np.zeros((pad_n, 6), rays_np.dtype)]
+                        [rays_np, np.repeat(rays_np[-1:], pad_n, axis=0)]
                     )
                 stacked = render_scanned(
                     params, particles, ro,
@@ -188,15 +207,16 @@ class TrainerBase:
                         merged[k] = v
                         continue
                     flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])
-                    factor = flat.shape[0] // (n_chunks * chunk)
-                    merged[k] = flat[: n * factor] if factor >= 1 else flat
+                    merged[k] = _trim(flat, k, n, n_chunks)
                 return merged
             outs = []
             for i in range(n_chunks):
                 part = np.asarray(rays_flat[i * chunk : (i + 1) * chunk])
                 pad = chunk - part.shape[0]
                 if pad:
-                    part = np.concatenate([part, np.zeros((pad, 6), part.dtype)])
+                    part = np.concatenate(
+                        [part, np.repeat(part[-1:], pad, axis=0)]
+                    )
                 out = render_chunk(params, particles, ro, jnp.asarray(part))
                 outs.append(jax.tree_util.tree_map(np.asarray, out))
             merged = {}
@@ -207,10 +227,7 @@ class TrainerBase:
                     merged[k] = np.stack([o[k] for o in outs])
                     continue
                 cat = np.concatenate([o[k] for o in outs], axis=0)
-                # outputs are either per-ray (dim0 = chunk) or per-sample
-                # (dim0 = chunk * S); trim the final chunk's padding either way
-                factor = cat.shape[0] // (n_chunks * chunk)
-                merged[k] = cat[: n * factor] if factor >= 1 else cat
+                merged[k] = _trim(cat, k, n, n_chunks)
             return merged
 
         return render_full

@@ -446,3 +446,50 @@ class TestResumeScheduleOffset:
         te2 = E2ETrainer(cfg4)
         assert te2.start_step == 4
         assert opt_count(te2.opt_r_state) == 0  # fresh (reference quirk)
+
+
+class TestChunkRendererParity:
+    def test_scan_matches_fallback_on_ragged_ray_count(self, rng):
+        """ADVICE r3: the scan renderer is the default path for every eval
+        metric but had no parity test against the per-chunk fallback. Use a
+        ray count that is NOT a multiple of the chunk so the padding path
+        (repeat-last-ray, trim) is exercised, and compare every output key."""
+        from neurofluid_tpu.models.render_net import RenderNet
+        from neurofluid_tpu.train.trainer_base import TrainerBase
+
+        net = RenderNet(
+            near=1.0, far=3.0, n_samples=8, n_importance=4,
+            nerf_depth=2, nerf_width=32, search_backend="brute",
+            num_neighbors=6,
+        )
+        pos = jnp.asarray(rng.uniform(-0.4, 0.4, (60, 3)).astype(np.float32))
+        ro = jnp.asarray([0.0, 0.0, 2.0], jnp.float32)
+        n_rays, chunk = 21, 8  # 21 = 2 full chunks + ragged 5-ray tail
+        d = np.tile([0.0, 0.0, -1.0], (n_rays, 1)).astype(np.float32)
+        d[:, 0] += np.linspace(-0.15, 0.15, n_rays, dtype=np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(
+            np.concatenate([np.tile(np.asarray(ro), (n_rays, 1)), d], -1)
+        )
+        params = net.init(jax.random.PRNGKey(0), pos, ro, rays[:chunk])
+
+        # make_chunk_renderer reads nothing from self (method for API
+        # grouping only) — call unbound to skip trainer scaffolding
+        scan_rf = TrainerBase.make_chunk_renderer(
+            None, net, chunk=chunk, use_scan=True
+        )
+        loop_rf = TrainerBase.make_chunk_renderer(
+            None, net, chunk=chunk, use_scan=False
+        )
+        out_s = scan_rf(params, pos, ro, rays)
+        out_l = loop_rf(params, pos, ro, rays)
+        assert set(out_s) == set(out_l)
+        for k in out_s:
+            np.testing.assert_allclose(
+                np.asarray(out_s[k]), np.asarray(out_l[k]),
+                rtol=1e-5, atol=1e-5, err_msg=f"key {k}",
+            )
+            if np.asarray(out_s[k]).ndim >= 1 and out_s[k].shape[0] in (
+                n_rays, n_rays * 8, n_rays * 12
+            ):
+                pass  # per-ray/per-sample outputs trimmed to the real count
