@@ -215,7 +215,7 @@ def main():
         # backward never re-runs grid build + candidate scan + selection
         @functools.partial(
             jax.checkpoint,
-            policy=jax.checkpoint_policies.save_only_these_names("nbr_static"),
+            policy=jax.checkpoint_policies.save_only_these_names("nbr_static", "nbr_feats"),
         )
         def one_step(p, pp, vv):
             return net_t.apply(p, pp, vv, box_, nrm_, return_diag=True,

@@ -421,3 +421,61 @@ def generate_raw_dataset(root: str, n_sims: int = 2, n_frames: int = 8, n_side: 
             )
         with open(osp.join(sim_dir, "box.pt"), "wb") as fp:
             pickle.dump({"box": box, "box_normals": box_normals}, fp)
+
+
+def generate_pbf_raw_dataset(
+    root: str,
+    n_sims: int = 12,
+    n_frames: int = 50,
+    n_side: int = 24,
+    seed: int = 10,
+    log=None,
+) -> None:
+    """Randomized multi-scene PBF pretraining set in the raw layout.
+
+    The reference pretrains its transition model over 270 randomized DFSPH
+    simulations (reference README.md:88-90, run.sh,
+    data_generation/create_physics_scenes.py); this writes the budget-scaled
+    counterpart: `n_sims` position-based-fluids sims (data/synthetic.py::
+    simulate_pbf) with randomized initial blob placement and velocity, all at
+    the SAME particle count (n_side^3) so one compiled TPU train step serves
+    every scene — static shapes make per-scene count variation a recompile,
+    and placement/velocity/impact diversity is what decorrelates the
+    dynamics, not count.
+
+    Layout: sim_XXXX/output/fluid_FFFF.npz + box.pt per sim (reference
+    datasets/dataset_splishsplash_rawdata.py:103-122), consumed by
+    ParticleDataset(data_type='raw').
+    """
+    box, box_normals = make_box()
+    rng = np.random.default_rng(seed)
+    half = 0.5 * (n_side - 1) * 0.05
+    for s in range(n_sims):
+        sim_dir = osp.join(root, f"sim_{s:04d}")
+        os.makedirs(osp.join(sim_dir, "output"), exist_ok=True)
+        # random placement inside the container (blob must fit with margin)
+        cx, cy = rng.uniform(-0.9 + half, 0.9 - half, size=2)
+        # center height: blob rests just above the floor up to a ~1.2 m drop,
+        # never clipped against the container ceiling (z <= 2.43)
+        cz = rng.uniform(-0.9 + half, 1.8 - half)
+        pos0, vel0 = make_fluid_blob(
+            n_side=n_side, center=(cx, cy, cz), seed=seed + s
+        )
+        # random initial push (the reference samples initial velocities for
+        # its fluid blocks, create_physics_scenes.py)
+        vel0 = vel0 + rng.uniform([-1.5, -1.5, -0.5], [1.5, 1.5, 0.0])
+        vel0 = vel0.astype(np.float32)
+        positions, velocities = simulate_pbf(
+            pos0, vel0, n_frames, seed=seed + s
+        )
+        for f in range(n_frames):
+            np.savez(
+                osp.join(sim_dir, "output", f"fluid_{f:04d}.npz"),
+                pos=positions[f],
+                vel=velocities[f],
+            )
+        with open(osp.join(sim_dir, "box.pt"), "wb") as fp:
+            pickle.dump({"box": box, "box_normals": box_normals}, fp)
+        if log is not None:
+            log(f"pbf sim {s + 1}/{n_sims} done ({len(pos0)} particles, "
+                f"{n_frames} frames)")

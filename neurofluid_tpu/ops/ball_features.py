@@ -100,12 +100,23 @@ def group_queries(
     upper: tuple,
     capacity: int,
     group_size: int = 32,
+    max_groups: int | None = None,
 ) -> BallGrouping:
     """Cull to the particle AABB (+radius), sort by (clamped) cell id, and
     split each cell's run of queries into groups of <= group_size.
 
     The static group bound is capacity/T + num_cells + 1: each nonempty cell
     contributes at most one partial group beyond its full ones.
+
+    `max_groups` caps that bound (OCCUPANCY COMPACTION): group ids are
+    assigned compactly (cumsum over per-cell group counts — empty cells get
+    none), so the real group count is capacity/T + #occupied cells, far
+    below the worst case on fine grids (the fluid transition grid has ~12k
+    cells but ~1.3k occupied at rest density; the uncapped bound made the
+    fused compact query allocate ~12k padded output rows). Exceeding the
+    cap is DETECTED (queries past it would silently vanish): the overflow
+    is OR-ed into `cull_overflow`, which every consumer already surfaces
+    through the fail-loudly flag chain.
     """
     queries = jax.lax.stop_gradient(queries)
     points = jax.lax.stop_gradient(points)
@@ -157,6 +168,11 @@ def group_queries(
     rank_in_cell = jnp.arange(capacity, dtype=jnp.int32) - starts_cell[qcell]
     group_of_q = gbase[qcell] + rank_in_cell // t
     ng = capacity // t + num_cells + 2
+    if max_groups is not None:
+        ng = min(ng, max(int(max_groups), capacity // t + 2))
+        # gbase[-1] = total groups actually assigned (incl. the sentinel
+        # cell's); any group id >= ng has no output slot — fail loudly
+        cull_overflow = jnp.logical_or(cull_overflow, gbase[-1] > ng)
     gstart = jnp.searchsorted(
         group_of_q, jnp.arange(ng + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)

@@ -36,6 +36,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from neurofluid_tpu.ops import segment_ops
 from neurofluid_tpu.ops.neighbor_search import NeighborList
 
@@ -205,19 +207,27 @@ def cconv_geometry(
 
 
 def cconv_tap_matrix(corner: jax.Array, tapw: jax.Array, num_taps: int):
-    """Dense per-pair tap weights tw (Q, K, T): tw[q,k,t] = sum_j
+    """Dense per-pair tap weights tw (Q, T, K): tw[q,t,k] = sum_j
     tapw[q,k,j] * [corner[q,k,j] == t].
 
     This tensor depends on POSITIONS only — a ParticleNet step runs 4 conv
     layers over the same fluid neighbor list, and rebuilding tw per layer
-    (8 one-hot broadcast-multiply-adds over (Q, K, T)) was pure waste:
+    (8 one-hot broadcast-multiply-adds over (Q, T, K)) was pure waste:
     compute it once per neighbor list and feed every layer's
     `continuous_conv_apply(..., tap_matrix=...)`. Differentiable w.r.t.
-    positions through `tapw`."""
-    tw = jnp.zeros(corner.shape[:2] + (num_taps,), tapw.dtype)
+    positions through `tapw`.
+
+    Layout is (Q, T, K) — taps BEFORE neighbors — so the per-layer
+    contraction "qtk,qkc->qtc" has both operands in canonical batched-matmul
+    order (batch q, lhs contracts its minor dim, rhs its major non-batch
+    dim). The previous (Q, K, T) layout made XLA materialize a transposed
+    copy of the tensor per layer per direction (the f32[C, Q/2, 128]
+    "data formatting" copies in the round-3 transition trace)."""
+    q, k = corner.shape[:2]
+    tw = jnp.zeros((q, num_taps, k), tapw.dtype)
     for j in range(corner.shape[-1]):
-        oh = jax.nn.one_hot(corner[:, :, j], num_taps, dtype=tapw.dtype)
-        tw = tw + oh * tapw[:, :, j][..., None]
+        oh = jax.nn.one_hot(corner[:, :, j], num_taps, dtype=tapw.dtype, axis=1)
+        tw = tw + oh * tapw[:, :, j][:, None, :]
     return tw
 
 
@@ -228,18 +238,21 @@ def _cconv_apply_chunk(chunk, filters: jax.Array, num_taps: int,
     precomputed (C, K, T) tap matrix (see cconv_tap_matrix)."""
     corner, tapw, feats_nb = chunk
     if tapw is None:
-        tw = corner
+        tw = corner  # precomputed (C, T, K) tap matrix
     else:
         # tap weights accumulated over the 8 trilinear corners WITHOUT ever
-        # materializing the (C, K, 8, T) one-hot tensor — at reference
+        # materializing the (C, 8, T, K) one-hot tensor — at reference
         # particle counts that tensor (stacked across lax.map chunks for the
         # backward) was the single largest allocation of the transition train
         # step (2 GB unpadded, 4 GB padded) and blew v5e HBM in the
-        # 2-step-rollout trainer
-        tw = jnp.zeros(corner.shape[:2] + (num_taps,), feats_nb.dtype)
+        # 2-step-rollout trainer. (C, T, K) layout: see cconv_tap_matrix.
+        c_, k_ = corner.shape[:2]
+        tw = jnp.zeros((c_, num_taps, k_), feats_nb.dtype)
         for j in range(corner.shape[-1]):
-            oh = jax.nn.one_hot(corner[:, :, j], num_taps, dtype=feats_nb.dtype)
-            tw = tw + oh * tapw[:, :, j][..., None]
+            oh = jax.nn.one_hot(
+                corner[:, :, j], num_taps, dtype=feats_nb.dtype, axis=1
+            )
+            tw = tw + oh * tapw[:, :, j][:, None, :]
     # precision=HIGHEST keeps the contraction inputs in full f32: the default
     # (bf16 operands on the MXU) loses ~1e-3 on the physics features, which is
     # too coarse for the position-gradient path the simulator depends on.
@@ -247,7 +260,7 @@ def _cconv_apply_chunk(chunk, filters: jax.Array, num_taps: int,
     # trainers select it via ParticleNet.conv_precision after the TPU quality
     # pin; HIGHEST stays the default.
     basis = jnp.einsum(
-        "qkt,qkc->qtc", tw, feats_nb, precision=precision
+        "qtk,qkc->qtc", tw, feats_nb, precision=precision
     )  # (C,T,Cin)
     out = jnp.einsum(
         "qtc,tco->qo",
@@ -292,6 +305,14 @@ def continuous_conv_apply(
     else:
         gathered = segment_ops.take_rows(feats, safe_idx)
     nb_feats = jnp.where(neighbors.mask[..., None], gathered, 0.0)
+    # Offer the gathered (Q, K, Cin) features as a named checkpoint residual:
+    # under the transition trainer's 2-step remat, recomputing them in the
+    # backward re-runs one of the step's most expensive ops (a ~917k-row
+    # gather, ~9 ms each at the watercube point, 3 fluid layers x 2 rollout
+    # steps). Policies that also save "nbr_feats" (see
+    # train/transition.py) trade ~350 MB HBM per layer-step for skipping
+    # those re-gathers; policies that don't are unaffected.
+    nb_feats = checkpoint_name(nb_feats, "nbr_feats")
 
     if tap_matrix is not None:
         geom = (tap_matrix,)

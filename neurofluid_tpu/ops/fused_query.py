@@ -58,28 +58,37 @@ from neurofluid_tpu.ops import ball_features as bf
 from neurofluid_tpu.ops import neighbor_search as ns
 from neurofluid_tpu.ops import pallas_features as pf
 
-GPB = 1      # groups per program block. 4 put four groups' (T, K, cap)
-             # one-hot scatter tensors on the Mosaic stack at once and ran
-             # v5e VMEM out at the transition working point (K=64, cap=32)
+GPB = 8      # groups per program block (amortizes per-program dispatch; the
+             # j-loop is sequential so live VMEM stays one group's tensors).
+             # Round 3 ran GPB=1 at T=32 — the (T, K, cap) one-hot scatter
+             # tensors were 4x larger then and still blew VMEM.
 UNROLL = 3   # 27-cell fori_loop partial unroll (see pallas_features)
+GROUP_SIZE = 8   # queries per group T. Small on purpose: the emission's
+                 # (T, K, cap) one-hot is the kernel's biggest live tensor
+                 # (T=8, K=64, cap=32 -> 64 KB f32); rest-density cells hold
+                 # ~11 queries so per-cell padding waste stays ~30%.
 _SENTINEL = bf._SENTINEL
 
 
-def _cell_compact(qx, qy, qz, rx, ry, rz, ridx, off, radius: float, k: int,
-                  exclude_self: bool):
+def _cell_compact(qx, qy, qz, rx, ry, rz, payloads, off, radius: float,
+                  k: int, exclude_self: bool):
     """ONE cell's contribution to the compact neighbor list.
 
     qx/qy/qz: (T, 1) query coordinates; rx/ry/rz: (1, cap) candidate
-    coordinates (sentinel at invalid slots); ridx: (1, cap) f32 original
-    point ids (< 2^24, exactly representable); off: (T, 1) running
-    in-radius count over previously processed cells (selection budget).
+    coordinates (sentinel at invalid slots); payloads: tuple of (1, cap)
+    f32 value rows to emit per selected candidate (e.g. original point ids
+    — < 2^24, exactly representable — and optionally the coordinates);
+    off: (T, 1) running in-radius count over previously processed cells
+    (selection budget).
 
-    Returns (idx_k, x_k, y_k, z_k) each (T, K) — this cell's selected
-    payloads scattered into their global slots (zero elsewhere) — plus
-    cnt (T, 1), the cell's in-radius count. The caller accumulates the
-    payload grids (slots are disjoint across cells by construction: slot
-    = off + in-cell rank - 1 is strictly increasing along the cell walk)
-    and advances off by cnt.
+    Returns a tuple of (T, K) arrays — each payload scattered into its
+    global output slot (zero elsewhere) — plus cnt (T, 1), the cell's
+    in-radius count. The caller accumulates the payload grids (slots are
+    disjoint across cells by construction: slot = off + in-cell rank - 1
+    is strictly increasing along the cell walk) and advances off by cnt.
+    The one-hot emission tensor is (T, K, cap) and every extra payload is
+    one more (T, K, cap) product + lane reduction — the kernel's dominant
+    VPU cost, which is why `emit_xyz=False` (ids only) exists.
 
     Strictly 2-D/3-D last-two-tiled work; shared verbatim by the XLA
     reference backend and the Pallas TPU kernel.
@@ -123,29 +132,32 @@ def _cell_compact(qx, qy, qz, rx, ry, rz, ridx, off, radius: float, k: int,
     def emit(val_row):  # (1, cap) -> (T, K)
         return jnp.sum(oh * val_row[:, None, :], axis=-1)
 
-    return emit(ridx), emit(rx), emit(ry), emit(rz), cnt
+    return tuple(emit(p) for p in payloads), cnt
 
 
 def _block_compact(qx, qy, qz, rows_x, rows_y, rows_z, rows_i,
-                   radius: float, k: int, exclude_self: bool):
+                   radius: float, k: int, exclude_self: bool,
+                   emit_xyz: bool):
     """XLA-traceable 27-cell composition (the correctness reference; the
     Pallas kernel walks the same cells with a fori_loop)."""
     t = qx.shape[0]
-    acc = [jnp.zeros((t, k), jnp.float32) for _ in range(4)]
+    n_pay = 4 if emit_xyz else 1
+    acc = [jnp.zeros((t, k), jnp.float32) for _ in range(n_pay)]
     off = jnp.zeros((t, 1), jnp.float32)
     for o in range(27):
-        di, dx_, dy_, dz_, cnt = _cell_compact(
-            qx, qy, qz, rows_x[o], rows_y[o], rows_z[o], rows_i[o],
+        payloads = (rows_i[o], rows_x[o], rows_y[o], rows_z[o])[:n_pay]
+        emitted, cnt = _cell_compact(
+            qx, qy, qz, rows_x[o], rows_y[o], rows_z[o], payloads,
             off, radius, k, exclude_self,
         )
-        acc = [a + d for a, d in zip(acc, (di, dx_, dy_, dz_))]
+        acc = [a + d for a, d in zip(acc, emitted)]
         off = off + cnt
-    return acc[0], acc[1], acc[2], acc[3], off
+    return tuple(acc) + (off,)
 
 
 def _xla_compact(q_rep, tx, ty, tz, ti, gcell, dims, radius, k,
-                 exclude_self, chunk_groups=8):
-    """q_rep (NG*T, 3) repacked queries -> 4 payloads (NG*T, K) + count."""
+                 exclude_self, emit_xyz, chunk_groups=8):
+    """q_rep (NG*T, 3) repacked queries -> payload arrays (NG*T, K) + count."""
     ng = gcell.shape[0]
     t = q_rep.shape[0] // ng
     rows = bf._neighbor_rows(gcell, dims)  # (NG, 27)
@@ -160,7 +172,7 @@ def _xla_compact(q_rep, tx, ty, tz, ti, gcell, dims, radius, k,
         def one(qb, a, b, c, i):
             return _block_compact(
                 qb[:, 0:1], qb[:, 1:2], qb[:, 2:3], a, b, c, i,
-                radius, k, exclude_self,
+                radius, k, exclude_self, emit_xyz,
             )
 
         return jax.vmap(one)(qc, cx, cy, cz, ci)
@@ -175,15 +187,14 @@ def _xla_compact(q_rep, tx, ty, tz, ti, gcell, dims, radius, k,
         (qg.reshape(n_chunks, chunk_groups, t, 3),
          rg.reshape(n_chunks, chunk_groups, 27)),
     )
-    idx, x, y, z, cnt = (o.reshape(-1, o.shape[-1]) for o in out)
-    return (idx[: ng * t], x[: ng * t], y[: ng * t], z[: ng * t],
-            cnt[: ng * t])
+    return tuple(o.reshape(-1, o.shape[-1])[: ng * t] for o in out)
 
 
 def _fwd_kernel(rows_ref, qx_ref, qy_ref, qz_ref, tx_ref, ty_ref, tz_ref,
-                ti_ref, oi_ref, ox_ref, oy_ref, oz_ref, oc_ref, *,
-                radius: float, k: int, t: int, dims: tuple,
-                exclude_self: bool):
+                ti_ref, *refs, radius: float, k: int, t: int, dims: tuple,
+                exclude_self: bool, emit_xyz: bool):
+    out_refs = refs[:-1]  # payload outputs (idx[, x, y, z])
+    oc_ref = refs[-1]
     gb = pl.program_id(0)
     d0, d1, d2 = dims
     num_cells = d0 * d1 * d2
@@ -194,58 +205,55 @@ def _fwd_kernel(rows_ref, qx_ref, qy_ref, qz_ref, tx_ref, ty_ref, tz_ref,
 
         @pl.when(c == num_cells)
         def _skip():  # sentinel tail groups: empty result
-            oi_ref[j : j + 1] = jnp.zeros((1, t, k), jnp.float32)
-            ox_ref[j : j + 1] = jnp.zeros((1, t, k), jnp.float32)
-            oy_ref[j : j + 1] = jnp.zeros((1, t, k), jnp.float32)
-            oz_ref[j : j + 1] = jnp.zeros((1, t, k), jnp.float32)
+            for o_ref in out_refs:
+                o_ref[j : j + 1] = jnp.zeros((1, t, k), jnp.float32)
             oc_ref[j : j + 1] = jnp.zeros((1, t, 1), jnp.float32)
 
         @pl.when(c < num_cells)
         def _run():
-            _fwd_group(oi_ref, ox_ref, oy_ref, oz_ref, oc_ref, c,
-                       qx, qy, qz, tx_ref, ty_ref, tz_ref, ti_ref,
-                       j, radius, k, t, dims, exclude_self)
+            _fwd_group(out_refs, oc_ref, c, qx, qy, qz,
+                       tx_ref, ty_ref, tz_ref, ti_ref,
+                       j, radius, k, t, dims, exclude_self, emit_xyz)
 
 
-def _fwd_group(oi_ref, ox_ref, oy_ref, oz_ref, oc_ref, c, qx, qy, qz,
-               tx_ref, ty_ref, tz_ref, ti_ref, j, radius, k, t, dims,
-               exclude_self):
+def _fwd_group(out_refs, oc_ref, c, qx, qy, qz, tx_ref, ty_ref, tz_ref,
+               ti_ref, j, radius, k, t, dims, exclude_self, emit_xyz):
+    n_pay = len(out_refs)
+
     def body(i, carry):
-        ai, ax, ay, az, off = carry
+        *acc, off = carry
         for u in range(UNROLL):
             row = pf._row_for_cell(c, i * UNROLL + u, dims)
             rx = tx_ref[pl.ds(row, 1), :]  # (1, cap)
             ry = ty_ref[pl.ds(row, 1), :]
             rz = tz_ref[pl.ds(row, 1), :]
             ri = ti_ref[pl.ds(row, 1), :]
-            di, dxx, dyy, dzz, cnt = _cell_compact(
-                qx, qy, qz, rx, ry, rz, ri, off, radius, k, exclude_self
+            payloads = (ri, rx, ry, rz)[:n_pay]
+            emitted, cnt = _cell_compact(
+                qx, qy, qz, rx, ry, rz, payloads, off, radius, k,
+                exclude_self,
             )
-            ai = ai + di
-            ax = ax + dxx
-            ay = ay + dyy
-            az = az + dzz
+            acc = [a + d for a, d in zip(acc, emitted)]
             off = off + cnt
-        return ai, ax, ay, az, off
+        return (*acc, off)
 
     assert 27 % UNROLL == 0
     z2 = jnp.zeros((t, k), jnp.float32)
-    ai, ax, ay, az, off = jax.lax.fori_loop(
+    out = jax.lax.fori_loop(
         0, 27 // UNROLL, body,
-        (z2, z2, z2, z2, jnp.zeros((t, 1), jnp.float32)),
+        tuple([z2] * n_pay) + (jnp.zeros((t, 1), jnp.float32),),
     )
-    oi_ref[j : j + 1] = ai.reshape(1, t, k)
-    ox_ref[j : j + 1] = ax.reshape(1, t, k)
-    oy_ref[j : j + 1] = ay.reshape(1, t, k)
-    oz_ref[j : j + 1] = az.reshape(1, t, k)
-    oc_ref[j : j + 1] = off.reshape(1, t, 1)
+    for o_ref, val in zip(out_refs, out[:-1]):
+        o_ref[j : j + 1] = val.reshape(1, t, k)
+    oc_ref[j : j + 1] = out[-1].reshape(1, t, 1)
 
 
 def _pallas_compact(q_rep, tx, ty, tz, ti, gcell, dims, radius, k, t,
-                    exclude_self, interpret):
+                    exclude_self, emit_xyz, interpret):
     ng = gcell.shape[0]
     ngp = -(-ng // GPB) * GPB
     num_cells = dims[0] * dims[1] * dims[2]
+    n_pay = 4 if emit_xyz else 1
     gcell_p = jnp.pad(gcell, (0, ngp - ng), constant_values=num_cells)
     q3 = jnp.pad(
         q_rep.reshape(ng, t, 3), ((0, ngp - ng), (0, 0), (0, 0)),
@@ -258,25 +266,31 @@ def _pallas_compact(q_rep, tx, ty, tz, ti, gcell, dims, radius, k, t,
         num_scalar_prefetch=1,
         grid=(ngp // GPB,),
         in_specs=[qspec, qspec, qspec, vmem, vmem, vmem, vmem],
-        out_specs=[ospec, ospec, ospec, ospec,
-                   pl.BlockSpec((GPB, t, 1), lambda g, rows: (g, 0, 0))],
+        out_specs=[ospec] * n_pay
+        + [pl.BlockSpec((GPB, t, 1), lambda g, rows: (g, 0, 0))],
     )
     shp = jax.ShapeDtypeStruct((ngp, t, k), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(
             _fwd_kernel, radius=float(radius), k=int(k), t=int(t),
             dims=tuple(dims), exclude_self=bool(exclude_self),
+            emit_xyz=bool(emit_xyz),
         ),
         grid_spec=grid_spec,
-        out_shape=[shp, shp, shp, shp,
-                   jax.ShapeDtypeStruct((ngp, t, 1), jnp.float32)],
+        out_shape=[shp] * n_pay
+        + [jax.ShapeDtypeStruct((ngp, t, 1), jnp.float32)],
+        # the VMEM-resident coordinate/id tables (4 x (num_cells+1, cap)
+        # ~ 6 MB at the transition grid) plus pipelined blocks overflow the
+        # default 16 MB scoped-vmem budget by ~1 MB; v5e has 128 MB physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(gcell_p.astype(jnp.int32), q3[:, :, 0:1], q3[:, :, 1:2], q3[:, :, 2:3],
       tx, ty, tz, ti)
-    idx, x, y, z, cnt = outs
-    return (idx[:ng].reshape(ng * t, k), x[:ng].reshape(ng * t, k),
-            y[:ng].reshape(ng * t, k), z[:ng].reshape(ng * t, k),
-            cnt[:ng].reshape(ng * t, 1))
+    return tuple(
+        o[:ng].reshape(ng * t, o.shape[-1]) for o in outs
+    )
 
 
 def ball_query_compact(
@@ -287,28 +301,44 @@ def ball_query_compact(
     radius: float,
     k: int,
     exclude_self: bool = False,
-    group_size: int = 32,
+    group_size: int = GROUP_SIZE,
     backend: str = "auto",
+    max_occupied_cells: int = 4096,
+    emit_xyz: bool = False,
 ) -> tuple[ns.NeighborList, jax.Array]:
     """Compact fixed-K neighbor lists from a prebuilt CellGrid.
 
     The grid MUST have been built with cell_size == radius over
     (lower, upper) (ParticleNet.make_grid geometry). Returns
     (NeighborList, overflow) like radius_search_grid, with the selection
-    semantics documented in the module docstring. The NeighborList's
-    `xyz` payload carries the selected coordinates (stop-gradient), so
-    consumers skip the forward position gather (cconv_geometry's
-    gather3_values path); `sq_dists` is likewise stop-gradient here
-    (ParticleNet re-derives differentiable geometry itself).
+    semantics documented in the module docstring. With `emit_xyz=True`,
+    the NeighborList's `xyz` payload carries the selected coordinates
+    (stop-gradient), so consumers skip the forward position gather
+    (cconv_geometry's gather3_values path); `sq_dists` is likewise
+    stop-gradient then (ParticleNet re-derives differentiable geometry
+    itself). The default emits IDS ONLY: each payload costs one more
+    (T, K, cap) one-hot product per cell in the kernel, which measured
+    more expensive than the downstream (Q, K) row gather it would save.
+
+    `max_occupied_cells` bounds the occupancy-compacted group allocation
+    (group_queries max_groups): at rest density the fluid occupies ~1.3k of
+    the transition grid's ~12k cells, so 4096 leaves ~3x headroom for
+    splashed/diverged states while keeping the kernel's padded output rows
+    ~2.5x smaller than the uncompacted num_cells bound. Exceeding it raises
+    the returned overflow flag (never silent).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     queries = jax.lax.stop_gradient(queries)
     q = queries.shape[0]
     dims = bf._cell_dims(lower, upper, radius)
+    num_cells = dims[0] * dims[1] * dims[2]
+    max_groups = (
+        q // int(group_size) + min(num_cells, int(max_occupied_cells)) + 2
+    )
     grouping = bf.group_queries(
         queries, grid.points_original, radius, lower, upper,
-        capacity=q, group_size=group_size,
+        capacity=q, group_size=group_size, max_groups=max_groups,
     )
     capacity, t = grouping.capacity, grouping.group_size
 
@@ -326,15 +356,16 @@ def ball_query_compact(
     q_rep = q_pad[grouping.rep_idx]  # (NG*T, 3)
 
     if backend == "pallas":
-        idx_f, x, y, z, cnt = _pallas_compact(
+        outs = _pallas_compact(
             q_rep, tx, ty, tz, ti, grouping.gcell, dims, radius, k, t,
-            exclude_self, interpret=jax.default_backend() != "tpu",
+            exclude_self, emit_xyz, interpret=jax.default_backend() != "tpu",
         )
     else:
-        idx_f, x, y, z, cnt = _xla_compact(
+        outs = _xla_compact(
             q_rep, tx, ty, tz, ti, grouping.gcell, dims, radius, k,
-            exclude_self,
+            exclude_self, emit_xyz,
         )
+    idx_f, cnt = outs[0], outs[-1]
 
     # repacked slots -> original query order (same inversion as
     # ball_features._forward)
@@ -356,10 +387,20 @@ def ball_query_compact(
     n_sel = jnp.minimum(count, k)
     mask = jnp.arange(k, dtype=jnp.int32)[None, :] < n_sel[:, None]
     idx = jnp.where(mask, unpack(idx_f).astype(jnp.int32), -1)
-    xyz = (unpack(x), unpack(y), unpack(z))
-    sq = jnp.zeros((q, k), queries.dtype)
-    for ax, cc in enumerate(xyz):
-        d = jnp.where(mask, cc - queries[:, ax, None], 0.0)
-        sq = sq + d * d
+    if emit_xyz:
+        xyz = tuple(unpack(o) for o in outs[1:4])
+        sq = jnp.zeros((q, k), queries.dtype)
+        for ax, cc in enumerate(xyz):
+            d = jnp.where(mask, cc - queries[:, ax, None], 0.0)
+            sq = sq + d * d
+    else:
+        # ids-only emission: coordinates come from a (Q, K) row gather of
+        # the point table downstream (cconv_geometry's take_rows_planned
+        # path, ~3 ms at 14k x 64 — cheaper than 3 extra in-kernel one-hot
+        # emissions); sq is recomputed differentiably there too.
+        xyz = None
+        sq = ns._recompute_sq_dists(queries, grid.points_original, idx, mask)
     nbrs = ns.NeighborList(idx, sq, mask, count, xyz)
-    return nbrs, grid.overflow
+    # cull_overflow carries the group-budget overflow too (max_groups):
+    # either means some query's neighborhood was not computed — surface it
+    return nbrs, jnp.logical_or(grid.overflow, grouping.cull_overflow)

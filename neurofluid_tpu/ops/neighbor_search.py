@@ -383,20 +383,29 @@ def build_cell_grid(
     ).astype(jnp.int32)
     overflow = jnp.max(starts[1:] - starts[:-1]) > cap
 
-    # densify: slot (c, r) reads sorted position starts[c] + r when in range
+    # densify: slot (c, r) reads sorted position starts[c] + r when in range.
+    # ONE row gather of a packed (N, 4) [x, y, z, original-id] table — four
+    # per-column (N,) scalar gathers here ran at ~140 M elem/s and made the
+    # grid BUILD cost ~42 ms at the 14k/12k-cell transition working point
+    # (measured round 4, tools/fused_query_microbench.py) — 2 builds/step =
+    # the largest single slice of the transition train step. Row gathers
+    # ride the DMA path; ids < 2^24 are exact in f32.
     src = starts[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
     valid = src < starts[1:, None]  # (num_cells, cap)
     src_c = jnp.clip(src, 0, n - 1)
-    ids = jnp.where(valid, order[src_c], -1)  # (num_cells, cap)
-    sorted_xyz = points_ng[order]
+    packed_sorted = jnp.concatenate(
+        [points_ng[order], order.astype(jnp.float32)[:, None]], axis=1
+    )  # (N, 4)
+    rows = packed_sorted[src_c.reshape(-1)].reshape(num_cells, cap, 4)
+    ids = jnp.where(valid, rows[..., 3].astype(jnp.int32), -1)
 
-    def densify(coord_sorted):
-        t = jnp.where(valid, coord_sorted[src_c], 0.0)
+    def densify(coord):
+        t = jnp.where(valid, coord, 0.0)
         return jnp.concatenate([t, jnp.zeros((1, cap), t.dtype)], axis=0)
 
-    table_x = densify(sorted_xyz[:, 0])
-    table_y = densify(sorted_xyz[:, 1])
-    table_z = densify(sorted_xyz[:, 2])
+    table_x = densify(rows[..., 0])
+    table_y = densify(rows[..., 1])
+    table_z = densify(rows[..., 2])
     table_idx = jnp.concatenate(
         [ids, jnp.full((1, cap), -1, jnp.int32)], axis=0
     )

@@ -12,6 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
 from neurofluid_tpu.models.particle_net import ParticleNet
 from neurofluid_tpu.models.render_net import RenderNet
@@ -237,6 +238,89 @@ def run_halo_lattice_step(n_devices: int, dims=(48, 24, 12),
     )
 
 
+def run_composed_step(n_devices: int, seed: int = 0):
+    """Rays x particles COMPOSED sharding in one program (docs/DESIGN.md's
+    "the two compose" claim, previously untested).
+
+    A 2-D mesh ('particles', 'rays'): the transition step runs under
+    shard_map over the 'particles' axis (all_gather strategy; replicated
+    across the 'rays' axis), its output feeds the renderer whose ray batch
+    is GSPMD-sharded over the 'rays' axis, and ONE loss differentiates
+    through both — GSPMD inserts the particle all-gather at the handoff and
+    the gradient reductions over both axes. Returns (composed, replicated)
+    dicts of {loss, grad-norms} for comparison.
+    """
+    from jax.sharding import NamedSharding
+
+    if n_devices % 2:
+        raise ValueError("composed mesh needs an even device count")
+    pp = 2
+    rr = n_devices // pp
+    devices = np.asarray(jax.devices()[:n_devices]).reshape(pp, rr)
+    mesh = jax.sharding.Mesh(devices, ("particles", "rays"))
+
+    pos, vel, box, nrm, ro, rays, rgbs = _tiny_problem(n_devices, seed)
+    rays1 = rays[0]  # (R, 6) single view
+    rgbs1 = rgbs[0]
+    transition, renderer = build_tiny_models()
+    key = jax.random.PRNGKey(0)
+    args = tuple(jnp.asarray(a) for a in (pos, vel, box, nrm))
+    params_t = transition.init(key, *args)
+    params_r = renderer.init(key, args[0], jnp.asarray(ro[0]), jnp.asarray(rays1))
+
+    sharded_net = ParticleNet(search_backend="brute", fluid_neighbor_k=16,
+                              obstacle_neighbor_k=8, shard_axis="particles")
+
+    def make_step(use_mesh: bool):
+        def tstep_local(pt, pos_, vel_, box_, nrm_):
+            net = sharded_net if use_mesh else transition
+            return net.apply(pt, pos_, vel_, box_, nrm_)
+
+        if use_mesh:
+            tstep = jax.shard_map(
+                tstep_local, mesh=mesh,
+                in_specs=(P(), P("particles"), P("particles"), P(), P()),
+                out_specs=(P("particles"), P("particles"), P("particles")),
+                check_vma=False,
+            )
+        else:
+            tstep = tstep_local
+
+        def step(pr, pt, pos_, vel_, box_, nrm_, ro_, rays_, rgbs_):
+            def loss_fn(pr_, pt_):
+                p2, v2, nn = tstep(pt_, pos_, vel_, box_, nrm_)
+                out = renderer.apply(pr_, p2, ro_, rays_)
+                return (
+                    jnp.mean((out["rgb1"] - rgbs_) ** 2)
+                    + jnp.mean((out["rgb0"] - rgbs_) ** 2)
+                    + 1e-3 * jnp.mean(nn)
+                )
+
+            loss, (g_r, g_t) = jax.value_and_grad(loss_fn, argnums=(0, 1))(pr, pt)
+            return loss, optax.global_norm(g_r), optax.global_norm(g_t)
+
+        if use_mesh:
+            repl = NamedSharding(mesh, P())
+            return jax.jit(step, in_shardings=(
+                repl, repl,
+                NamedSharding(mesh, P("particles")),
+                NamedSharding(mesh, P("particles")),
+                repl, repl, repl,
+                NamedSharding(mesh, P("rays")),
+                NamedSharding(mesh, P("rays")),
+            ))
+        return jax.jit(step)
+
+    inputs = (params_r, params_t, *args, jnp.asarray(ro[0]),
+              jnp.asarray(rays1), jnp.asarray(rgbs1))
+    c_loss, c_gr, c_gt = make_step(True)(*inputs)
+    r_loss, r_gr, r_gt = make_step(False)(*inputs)
+    as_dict = lambda l, gr, gt: {
+        "loss": float(l), "grad_norm_r": float(gr), "grad_norm_t": float(gt)
+    }
+    return as_dict(c_loss, c_gr, c_gt), as_dict(r_loss, r_gr, r_gt)
+
+
 def dryrun_multichip(n_devices: int) -> None:
     """Driver entry: full sharded e2e train step + particle-sharded step
     (all_gather strategy) + halo-exchange particle-sharded step (brute AND
@@ -260,11 +344,21 @@ def dryrun_multichip(n_devices: int) -> None:
     assert not l_diag["grid_overflow"], l_diag
     np.testing.assert_array_equal(l_rnn, l_snn)
     np.testing.assert_allclose(l_ref, l_sh, atol=1e-4)
+    comp, repl = run_composed_step(n_devices)
+    np.testing.assert_allclose(comp["loss"], repl["loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        comp["grad_norm_r"], repl["grad_norm_r"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        comp["grad_norm_t"], repl["grad_norm_t"], rtol=1e-4
+    )
     print(
         f"dryrun_multichip({n_devices}): e2e loss={result['loss']:.6f}, "
         f"particle-sharded step matches replicated (max diff "
         f"{np.abs(ref_pos - sh_pos).max():.2e}), halo-exchange step matches "
         f"replicated on brute+grid backends (max diff "
         f"{np.abs(h_ref - h_sh).max():.2e}), 13.8k-particle lattice grid halo "
-        f"matches (max diff {np.abs(l_ref - l_sh).max():.2e})"
+        f"matches (max diff {np.abs(l_ref - l_sh).max():.2e}), composed "
+        f"rays x particles step matches replicated "
+        f"(loss {comp['loss']:.6f} vs {repl['loss']:.6f})"
     )

@@ -147,11 +147,16 @@ class TransitionTrainer(TrainerBase):
             # tap corners — see particle_net._name_static): they carry no
             # gradient, cost only ~tens of MB to keep, and their recompute
             # is the single most expensive part of the step (grid build +
-            # candidate scan + selection, twice per backward).
+            # candidate scan + selection, twice per backward). "nbr_feats"
+            # additionally saves each conv layer's gathered (Q, K, Cin)
+            # neighbor features (ops/cconv.py): ~350 MB/layer-step of HBM
+            # buys skipping the ~9 ms re-gathers in the backward — measured
+            # net win at every working point that fits (14k particles uses
+            # <3 GB of the 16 GB chip).
             @functools.partial(
                 jax.checkpoint,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "nbr_static"
+                    "nbr_static", "nbr_feats"
                 ),
             )
             def one_step(p, pos, vel):

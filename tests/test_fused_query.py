@@ -60,7 +60,7 @@ def test_payload_coordinates_match_table(rng):
     grid = _grid(points)
     nb, _ = fq.ball_query_compact(
         points, grid, LOWER, UPPER, RADIUS, 48,
-        exclude_self=True, backend="xla",
+        exclude_self=True, backend="xla", emit_xyz=True,
     )
     idx = np.asarray(nb.idx)
     mask = np.asarray(nb.mask)
@@ -109,24 +109,51 @@ def test_truncation_keeps_first_k_and_true_count(rng):
         assert (d2 > 0).all()
 
 
-def test_pallas_interpret_matches_xla(rng):
+@pytest.mark.parametrize("emit_xyz", [False, True])
+def test_pallas_interpret_matches_xla(rng, emit_xyz):
     points = _scene(rng)
     grid = _grid(points)
     a, over_a = fq.ball_query_compact(
         points, grid, LOWER, UPPER, RADIUS, 48,
-        exclude_self=True, backend="xla",
+        exclude_self=True, backend="xla", emit_xyz=emit_xyz,
     )
     b, over_b = fq.ball_query_compact(
         points, grid, LOWER, UPPER, RADIUS, 48,
-        exclude_self=True, backend="pallas",
+        exclude_self=True, backend="pallas", emit_xyz=emit_xyz,
     )
     np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
     np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
     np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
-    for ax in range(3):
+    if emit_xyz:
+        for ax in range(3):
+            np.testing.assert_allclose(
+                np.asarray(a.xyz[ax]), np.asarray(b.xyz[ax]), atol=0
+            )
+    else:
+        assert a.xyz is None and b.xyz is None
+        # ids-only mode recomputes sq differentiably from the point table
         np.testing.assert_allclose(
-            np.asarray(a.xyz[ax]), np.asarray(b.xyz[ax]), atol=0
+            np.asarray(a.sq_dists), np.asarray(b.sq_dists), atol=1e-6
         )
+
+
+def test_ids_only_matches_xyz_mode(rng):
+    """emit_xyz only changes what the kernel EMITS, never the selection."""
+    points = _scene(rng)
+    grid = _grid(points)
+    a, _ = fq.ball_query_compact(
+        points, grid, LOWER, UPPER, RADIUS, 32,
+        exclude_self=True, backend="xla", emit_xyz=False,
+    )
+    b, _ = fq.ball_query_compact(
+        points, grid, LOWER, UPPER, RADIUS, 32,
+        exclude_self=True, backend="xla", emit_xyz=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    np.testing.assert_allclose(
+        np.asarray(a.sq_dists), np.asarray(b.sq_dists), atol=1e-6
+    )
 
 
 def test_empty_and_out_of_aabb_queries(rng):

@@ -124,3 +124,21 @@ def test_sharded_e2e_matches_single_device():
         "print('MATCH_OK', a['loss'])\n"
     )
     assert "MATCH_OK" in out
+
+
+def test_composed_rays_particles_sharding():
+    """docs/DESIGN.md claims ray sharding and particle sharding compose (rays
+    on one mesh axis, particles on another); this runs them in ONE program on
+    a (2, 4) mesh — shard_map transition over 'particles' feeding a
+    GSPMD-ray-sharded render + joint grads — and pins it to the replicated
+    result (round-3 VERDICT weak item 7)."""
+    out = _run_subprocess(
+        "import numpy as np\n"
+        "from neurofluid_tpu.parallel import dryrun\n"
+        "comp, repl = dryrun.run_composed_step(8)\n"
+        "np.testing.assert_allclose(comp['loss'], repl['loss'], rtol=1e-5)\n"
+        "np.testing.assert_allclose(comp['grad_norm_r'], repl['grad_norm_r'], rtol=1e-4)\n"
+        "np.testing.assert_allclose(comp['grad_norm_t'], repl['grad_norm_t'], rtol=1e-4)\n"
+        "print('COMPOSED_OK', comp, repl)\n"
+    )
+    assert "COMPOSED_OK" in out

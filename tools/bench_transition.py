@@ -49,7 +49,7 @@ def main():
                      box_grid_):
         @functools.partial(
             jax.checkpoint,
-            policy=jax.checkpoint_policies.save_only_these_names("nbr_static"),
+            policy=jax.checkpoint_policies.save_only_these_names("nbr_static", "nbr_feats"),
         )
         def one_step(p, pp, vv):
             return net.apply(p, pp, vv, box_, nrm_, return_diag=True,

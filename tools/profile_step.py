@@ -92,7 +92,7 @@ def capture_transition(logdir: str, steps: int):
         import functools
         @functools.partial(
             jax.checkpoint,
-            policy=jax.checkpoint_policies.save_only_these_names("nbr_static"),
+            policy=jax.checkpoint_policies.save_only_these_names("nbr_static", "nbr_feats"),
         )
         def one_step(p, pp, vv):
             return net.apply(p, pp, vv, box_, nrm_, return_diag=True,
