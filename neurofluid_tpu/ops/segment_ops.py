@@ -15,6 +15,7 @@ reduction instead of XLA scatter.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -133,6 +134,84 @@ def _segment_sum_planned(flat_vals: jax.Array, order, starts) -> jax.Array:
     return out.astype(flat_vals.dtype)
 
 
+# --- Pallas natural-order accumulate (no permutation, no cumsum) ------------
+#
+# The plan-based adjoint above is dominated by `flat_vals[order]`: a random
+# ROW PERMUTATION of the (M, C) cotangent array. On v5e that gather is
+# descriptor-bound (~27 ms for M=917k, C=96 — ~30 ns per row regardless of
+# width), and the (M, C) f32 cumsum behind it streams another 2x the array.
+# The whole reduction output is only (n, C) ~ 5.5 MB at transition scale —
+# it FITS IN VMEM. So instead of permuting M rows through HBM, stream the
+# cotangents in NATURAL order (contiguous, full-bandwidth reads) and
+# accumulate each row into a VMEM-resident table at its target id.
+#
+# The serial hazard (consecutive slots hitting the same row) is broken by
+# S independent accumulator streams — slot j goes to stream j % S, streams
+# only merge once at the end — so the per-slot read-modify-write chains
+# pipeline across streams.
+
+_SEGSUM_STREAMS = 8
+_SEGSUM_BLOCK = 4096
+
+
+def _segsum_kernel(idx_ref, vals_ref, acc_ref, *, block: int, streams: int):
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(i, carry):
+        for s in range(streams):
+            j = i * streams + s
+            t = idx_ref[j]
+            row = vals_ref[pl.ds(j, 1), :]
+            acc_ref[s, pl.ds(t, 1), :] = acc_ref[s, pl.ds(t, 1), :] + row
+        return carry
+
+    jax.lax.fori_loop(0, block // streams, body, 0)
+
+
+def segment_sum_accumulate(flat_vals: jax.Array, idx: jax.Array, n: int,
+                           block: int = _SEGSUM_BLOCK,
+                           streams: int = _SEGSUM_STREAMS,
+                           interpret: bool | None = None) -> jax.Array:
+    """sum_i flat_vals[i] into out[idx[i]] via a VMEM-accumulating Pallas
+    kernel. idx in [0, n]; row n is a trash row (dropped). Returns (n, C).
+
+    Use when n*C is small enough to keep `streams` accumulator copies in
+    VMEM (streams * (n+1) * C * 4 bytes; ~44 MB at transition scale)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, c = flat_vals.shape
+    mp = -(-m // block) * block
+    vals = jnp.pad(flat_vals.astype(jnp.float32), ((0, mp - m), (0, 0)))
+    ids = jnp.pad(idx.astype(jnp.int32), (0, mp - m), constant_values=n)
+    acc = pl.pallas_call(
+        functools.partial(_segsum_kernel, block=block, streams=streams),
+        grid=(mp // block,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda i: (i,),
+                         memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec((block, c), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((streams, n + 1, c), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((streams, n + 1, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ids, vals)
+    return jnp.sum(acc, axis=0)[:n].astype(flat_vals.dtype)
+
+
+def _use_pallas_segsum() -> bool:
+    return os.environ.get("NF_SEGSUM_PALLAS", "0") == "1"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def take_rows_planned(table: jax.Array, idx: jax.Array, order, starts):
     """`take_rows` whose adjoint reuses a shared AdjointPlan's (order, starts)
@@ -149,7 +228,17 @@ def _take_rows_planned_fwd(table, idx, order, starts):
 
 def _take_rows_planned_bwd(res, g):
     idx, order, starts = res
-    d_table = _segment_sum_planned(g.reshape(-1, g.shape[-1]), order, starts)
+    flat_g = g.reshape(-1, g.shape[-1])
+    n = starts.shape[0] - 1
+    if _use_pallas_segsum():
+        # natural-order VMEM accumulate: skips the descriptor-bound (M, C)
+        # permutation gather AND the (M, C) cumsum of the plan-based path.
+        # route out-of-range ids to the trash row exactly as adjoint_plan did
+        flat_ids = idx.reshape(-1).astype(jnp.int32)
+        flat_ids = jnp.where((flat_ids < 0) | (flat_ids >= n), n, flat_ids)
+        d_table = segment_sum_accumulate(flat_g, flat_ids, n)
+    else:
+        d_table = _segment_sum_planned(flat_g, order, starts)
     return d_table, None, None, None
 
 
