@@ -208,6 +208,12 @@ def segment_sum_accumulate(flat_vals: jax.Array, idx: jax.Array, n: int,
     return jnp.sum(acc, axis=0)[:n].astype(flat_vals.dtype)
 
 
+def _segsum_fits_vmem(n: int, c: int, streams: int = _SEGSUM_STREAMS) -> bool:
+    """VMEM tiles pad the lane (minor) dim to 128: budget with the padded c."""
+    padded_c = -(-c // 128) * 128
+    return streams * (n + 1) * padded_c * 4 <= 100 * 1024 * 1024
+
+
 def _use_pallas_segsum() -> bool:
     return os.environ.get("NF_SEGSUM_PALLAS", "0") == "1"
 
@@ -230,7 +236,7 @@ def _take_rows_planned_bwd(res, g):
     idx, order, starts = res
     flat_g = g.reshape(-1, g.shape[-1])
     n = starts.shape[0] - 1
-    if _use_pallas_segsum():
+    if _use_pallas_segsum() and _segsum_fits_vmem(n, flat_g.shape[-1]):
         # natural-order VMEM accumulate: skips the descriptor-bound (M, C)
         # permutation gather AND the (M, C) cumsum of the plan-based path.
         # route out-of-range ids to the trash row exactly as adjoint_plan did

@@ -37,10 +37,21 @@ from neurofluid_tpu.utils.metrics import FluidErrors
 
 def build_particle_net(cfg) -> ParticleNet:
     g = cfg.TRAIN.get("gravity", (0.0, -9.81, 0.0))
+    extra = {}
+    # Rotation-safe grid bounds: ParticleDataset's random z-rotation swings
+    # the square container's corners (|xy| = 0.975*sqrt(2) ~ 1.38) past the
+    # default grid cover (+-1.05); clamped out-of-bounds particles then pile
+    # into border cells and trip the fail-loudly bucket-overflow at random
+    # augmentation angles. Trainers that rotate MUST widen the grid.
+    if cfg.TRAIN.get("grid_lower"):
+        extra["grid_lower"] = tuple(float(x) for x in cfg.TRAIN.grid_lower)
+    if cfg.TRAIN.get("grid_upper"):
+        extra["grid_upper"] = tuple(float(x) for x in cfg.TRAIN.grid_upper)
     return ParticleNet(
         gravity=tuple(float(x) for x in g),
         particle_radius=float(cfg.TRAIN.get("particle_radius", 0.025)),
         search_backend=cfg.TRAIN.get("search_backend", "auto"),
+        **extra,
         # static-shape caps (the reference's Open3D search is uncapped);
         # raise these when the fail-loudly overflow policy fires — early
         # transition training legitimately produces compressed states
@@ -231,8 +242,12 @@ class TransitionTrainer(TrainerBase):
                     for k, v in aux.items():
                         self.logger.scalar(k, float(v), global_step)
                 global_step += 1
+            # checkpoint EVERY epoch (cheap, seconds): a fail-loudly overflow
+            # or preemption mid-stage must not lose the completed epochs —
+            # resume restores params/opt_state/step and the caller derives
+            # remaining epochs from step // len(dataset)
+            self.save_checkpoint(global_step)
             if (epoch + 1) % save_interval == 0:
-                self.save_checkpoint(global_step)
                 self.eval(global_step)
         return float(last_loss) if last_loss is not None else None
 

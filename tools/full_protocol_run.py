@@ -247,19 +247,30 @@ def main():
                    # fluid well past rest density (reference search uncapped)
                    fluid_neighbor_k=128, obstacle_neighbor_k=64,
                    grid_max_per_cell=64,
+                   # rotation-safe grid cover: the z-rotation augmentation
+                   # swings container corners to |xy| ~ 1.38 (see
+                   # transition.build_particle_net) — the default +-1.05
+                   # bounds clamp rotated corner clumps into border cells
+                   # and trip the bucket-overflow fail-loud at random steps
+                   grid_lower=[-1.45, -1.45, -1.05],
+                   grid_upper=[1.45, 1.45, 2.55],
                    pretrained="", search_backend=SEARCH_BACKEND,
                    datapath=dict(train=PRETRAIN, train_datatype="raw",
                                  eval=SCENE, eval_datatype="blender_all")),
     ))
     tt = TransitionTrainer(cfg)
     tr_models = osp.join(ROOT, "exps", "transition", "models")
+    done_epochs = 0
     if osp.isdir(tr_models) and os.listdir(tr_models):
-        log(f"resuming transition from {tr_models}")
         tt.resume(tr_models)
-        tloss = None  # fully resumed, no training this run
+        # per-epoch checkpoints carry step = epochs_done * len(dataset)
+        done_epochs = tt.start_step // max(len(tt.dataset), 1)
+        log(f"resumed transition from {tr_models} "
+            f"(step {tt.start_step} = {done_epochs} epochs)")
+    if done_epochs < TRANS_EPOCHS:
+        tloss = tt.train(n_epochs=TRANS_EPOCHS - done_epochs)
     else:
-        tloss = tt.train(n_epochs=TRANS_EPOCHS)
-        tt.save_checkpoint(1000)
+        tloss = None  # fully trained, no training this run
     results["transition"] = {
         "final_loss": None if tloss is None else float(tloss),
         "train_windows": len(tt.dataset),
