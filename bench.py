@@ -40,12 +40,35 @@ N_BOX = 4_096
 N_RAYS = 1024
 N_VIEWS = 1
 
-# production perf knobs (env-overridable for sweeps)
-CONV_PRECISION = os.environ.get("NF_BENCH_CONV_PRECISION", "high")
+# production perf knobs (env-overridable for sweeps).
+# Round-5 defaults: the transition model runs the selection-free fused
+# Pallas conv (ops/fused_cconv — exact uncapped reference semantics) at
+# MXU 'default' (1-pass bf16) precision. Measured v5e A/B at this working
+# point: grid/high 412.3 ms train step -> fused_cconv/default 246.6 ms
+# (116k particle-steps/s), rollout 817 -> 367 ms, e2e step 308 -> 260 ms
+# (3,945 rays/s), fresh-program compile 978 -> 151 s. The bf16 precision
+# choice is quality-pinned by the full protocol run (PROTOCOL_R5.json
+# trained_pred2gt vs R4's 96.3 mm at grid/high).
+CONV_PRECISION = os.environ.get("NF_BENCH_CONV_PRECISION", "default")
 QUERY_CHUNK = int(os.environ.get("NF_BENCH_QUERY_CHUNK", 16384))
-# transition-model neighbor search: 'auto' (grid at 14k), 'grid', 'brute',
-# or 'fused' (ops/fused_query one-kernel compact lists)
-SEARCH_BACKEND = os.environ.get("NF_BENCH_SEARCH", "auto")
+# transition-model neighbor search: 'fused_cconv' (default; ops/fused_cconv
+# selection-free fused conv), 'grid', 'brute', 'auto' (grid at 14k), or
+# 'fused' (ops/fused_query one-kernel compact lists)
+SEARCH_BACKEND = os.environ.get("NF_BENCH_SEARCH", "fused_cconv")
+# fused_cconv tuning knobs (ParticleNet.fused_group_size/slab_cap/cell_scale)
+FUSED_TG = int(os.environ.get("NF_BENCH_FUSED_TG", 16))
+FUSED_SLAB = int(os.environ.get("NF_BENCH_FUSED_SLAB", 128))
+FUSED_CELL = float(os.environ.get("NF_BENCH_FUSED_CELL", 1.0))
+
+
+def particle_net_kwargs():
+    """Shared ParticleNet perf-knob kwargs (bench.py + tools/ benches)."""
+    return dict(
+        gravity=(0.0, 0.0, -9.81),
+        conv_precision=CONV_PRECISION, query_chunk=QUERY_CHUNK,
+        search_backend=SEARCH_BACKEND, fused_group_size=FUSED_TG,
+        fused_slab_cap=FUSED_SLAB, fused_cell_scale=FUSED_CELL,
+    )
 
 
 def build_problem():
@@ -131,11 +154,7 @@ def main():
 
     pos, vel, box, nrm, ro, rays, rgbs = build_problem()
 
-    transition = ParticleNet(
-        gravity=(0.0, 0.0, -9.81),
-        conv_precision=CONV_PRECISION, query_chunk=QUERY_CHUNK,
-        search_backend=SEARCH_BACKEND,
-    )
+    transition = ParticleNet(**particle_net_kwargs())
     renderer = RenderNet()  # reference working point: 64+128 samples, K=20
 
     key = jax.random.PRNGKey(0)
@@ -212,11 +231,19 @@ def main():
                      box_grid_):
         # same remat policy as the real trainer (train/transition.py):
         # keep the DISCRETE search products across the remat boundary so the
-        # backward never re-runs grid build + candidate scan + selection
-        @functools.partial(
-            jax.checkpoint,
-            policy=jax.checkpoint_policies.save_only_these_names("nbr_static", "nbr_feats"),
+        # backward never re-runs grid build + candidate scan + selection.
+        # fused_cconv: no remat at all (custom-VJP saves only op inputs)
+        ckpt = (
+            (lambda f: f) if net_t.search_backend == "fused_cconv"
+            else functools.partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "nbr_static", "nbr_feats"
+                ),
+            )
         )
+
+        @ckpt
         def one_step(p, pp, vv):
             return net_t.apply(p, pp, vv, box_, nrm_, return_diag=True,
                                box_grid=box_grid_)

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from neurofluid_tpu.ops import cconv as cconv_ops
+from neurofluid_tpu.ops import fused_cconv
 from neurofluid_tpu.ops import fused_query
 from neurofluid_tpu.ops import neighbor_search as ns
 from neurofluid_tpu.ops import segment_ops
@@ -66,6 +67,23 @@ def _name_static(nbrs: "ns.NeighborList", plan):
     return nbrs, plan
 
 
+def _tag_cconv_plan(plan: "fused_cconv.CConvPlan"):
+    """`nbr_static` tags for the fused-cconv plan's DISCRETE arrays (sort
+    order, cell ranges, groupings) — same rationale as `_name_static`: the
+    rollout trainers' remat policy keeps these across the backward instead of
+    re-running the per-step cell sort + searchsorted plan build."""
+
+    def tag(x):
+        return checkpoint_name(x, "nbr_static")
+
+    return plan._replace(
+        order=tag(plan.order), inv_rank=tag(plan.inv_rank),
+        pstarts=tag(plan.pstarts), gcol=tag(plan.gcol), gzlo=tag(plan.gzlo),
+        gzhi=tag(plan.gzhi), gstart=tag(plan.gstart),
+        rows_map=tag(plan.rows_map),
+    )
+
+
 class ContinuousConvLayer(nn.Module):
     """Learnable continuous convolution layer (Open3D ContinuousConv analog).
 
@@ -81,7 +99,11 @@ class ContinuousConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, feats, neighbors, corner, tapw, plan=None,
-                 tap_matrix=None):
+                 tap_matrix=None, fused=None):
+        # `fused`: (qplan, qpos_s, cplan, cpos_s, radius, exclude_self) —
+        # run the selection-free fused Pallas op (ops/fused_cconv) instead of
+        # the NeighborList pipeline. `feats` is then the SORTED padded
+        # candidate feature array and the output is in sorted query order.
         in_ch = feats.shape[-1]
         kz, ky, kx = self.kernel_size
         # glorot over (receptive taps * in_ch, taps * out_ch) — conv-style fan
@@ -96,6 +118,13 @@ class ContinuousConvLayer(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.filters,), jnp.float32
         )
+        if fused is not None:
+            qplan, qpos_s, cplan, cpos_s, radius, exclude_self = fused
+            out, counts = fused_cconv.fused_cconv(
+                kernel, qplan, qpos_s, cplan, cpos_s, feats, radius,
+                exclude_self=exclude_self, precision=self.precision,
+            )
+            return out + bias, counts
         out = cconv_ops.continuous_conv_apply(
             kernel,
             corner,
@@ -124,7 +153,17 @@ class ParticleNet(nn.Module):
     # with 0.05 spacing; 64 leaves headroom — overflow keeps the K nearest)
     fluid_neighbor_k: int = 64
     obstacle_neighbor_k: int = 48
-    search_backend: str = "auto"  # 'brute' | 'grid' | 'auto'
+    # 'brute' | 'grid' | 'auto' | 'fused' (ops/fused_query compact lists) |
+    # 'fused_cconv' (ops/fused_cconv selection-free fused conv — no neighbor
+    # lists at all; exact uncapped reference semantics)
+    search_backend: str = "auto"
+    # fused_cconv grouping knobs (see ops/fused_cconv.GROUP_SIZE/SLAB_CAP).
+    # fused_cell_scale >= 1 coarsens the plan's cell size (cell = scale *
+    # radius): fewer columns/groups (cheaper plan + interpret mode) but
+    # longer candidate slabs (more masked pair work, larger slab_cap needs).
+    fused_group_size: int = 16
+    fused_slab_cap: int = 128
+    fused_cell_scale: float = 1.0
     # Grid bounds hug the reference's fluid container (x,y in ±0.975,
     # z in [-0.975, 2.4302] after the z-up rotation) plus slack; particles
     # escaping the bounds clamp to border cells (rare transients). Tight
@@ -174,11 +213,20 @@ class ParticleNet(nn.Module):
         return pos_new, vel_new
 
     def make_grid(self, points):
-        """Cell grid over `points` at this model's search geometry. For the
-        STATIC boundary particles this should be built once per scene and
-        passed to `__call__(..., box_grid=...)` — the box never moves, and a
-        per-step rebuild costs ~25 ms at the watercube working point."""
+        """Search acceleration structure over `points` at this model's
+        geometry. For the STATIC boundary particles this should be built once
+        per scene and passed to `__call__(..., box_grid=...)` — the box never
+        moves, and a per-step rebuild costs ~25 ms at the watercube working
+        point. Returns a `CellGrid` for the list/grid backends, or a
+        candidate-only `fused_cconv.CConvPlan` for the 'fused_cconv' backend
+        (both flow through the same `box_grid` argument)."""
         cell = max(self.filter_extent / 2.0, 1e-6)
+        if self.search_backend == "fused_cconv" and self.shard_axis is None:
+            return fused_cconv.build_plan(
+                points, self.grid_lower, self.grid_upper,
+                max(cell * self.fused_cell_scale, 1e-6),
+                with_groups=False, slab_cap=self.fused_slab_cap,
+            )
         return ns.build_cell_grid(
             points, self.grid_lower, self.grid_upper, cell,
             max_per_cell=self.grid_max_per_cell,
@@ -308,6 +356,94 @@ class ParticleNet(nn.Module):
 
         return extend_pos, extend_feats, valid, halo_over
 
+    def _fused_forward(self, pos, pos_new, vel_new, box, box_feats, feats,
+                       return_diag, box_plan):
+        """Selection-free fused-CConv step (ops/fused_cconv): the whole layer
+        stack runs in cell-SORTED particle order — one cell sort per step, no
+        neighbor lists, no K caps, no per-layer gathers; the conv sums are
+        the EXACT uncapped reference semantics (reference
+        models/transmodel.py:80-131, Open3D's uncapped fixed_radius_search).
+        `box_plan` is the candidate-only CConvPlan from `make_grid` (static
+        box: built once per scene); rebuilt here when absent."""
+        extent = self.filter_extent
+        radius = extent / 2.0
+        cell = max(radius * self.fused_cell_scale, 1e-6)
+        qplan = fused_cconv.build_plan(
+            pos_new, self.grid_lower, self.grid_upper, cell,
+            group_size=self.fused_group_size, slab_cap=self.fused_slab_cap,
+        )
+        if not isinstance(box_plan, fused_cconv.CConvPlan):
+            box_plan = fused_cconv.build_plan(
+                box, self.grid_lower, self.grid_upper, cell,
+                with_groups=False, slab_cap=self.fused_slab_cap,
+            )
+        overflow = fused_cconv.slab_overflow(qplan, box_plan)  # includes qplan's
+        qplan = _tag_cconv_plan(qplan)
+        S = qplan.slab_cap
+        qpos_s = fused_cconv.sort_values(
+            pos_new, qplan, pad_rows=S, pad_value=fused_cconv._SENTINEL
+        )
+
+        fluid_feats = [jnp.ones_like(pos_new[:, :1]), vel_new]
+        if feats is not None:
+            fluid_feats.append(feats)
+        fluid_feats = jnp.concatenate(fluid_feats, axis=-1)
+        ff = fused_cconv.sort_values(fluid_feats, qplan)  # sorted, unpadded
+        bfeats_s = fused_cconv.sort_values(
+            box_feats, box_plan, pad_rows=box_plan.slab_cap
+        )
+        fused_self = (qplan, qpos_s, qplan, qpos_s, radius, True)
+        fused_box = (qplan, qpos_s, box_plan, box_plan.pos_s, radius, False)
+
+        def pad0(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((S,) + x.shape[1:], x.dtype)], axis=0
+            )
+
+        conv_args = dict(kernel_size=self.kernel_size,
+                         query_chunk=self.query_chunk,
+                         precision=self.conv_precision)
+        c0 = self.layer_channels[0]
+        ans_fluid, counts = ContinuousConvLayer(
+            c0, name="conv0_fluid", **conv_args
+        )(pad0(ff), None, None, None, fused=fused_self)
+        ans_obstacle, _ = ContinuousConvLayer(
+            c0, name="conv0_obstacle", **conv_args
+        )(bfeats_s, None, None, None, fused=fused_box)
+        ans_dense = nn.Dense(c0, name="dense0_fluid")(ff)
+
+        # concat order [obstacle, fluid, dense] (reference :120); everything
+        # stays in sorted order until the single unsort at the end
+        h = jnp.concatenate([ans_obstacle, ans_fluid, ans_dense], axis=-1)
+        for i, ch in enumerate(self.layer_channels[1:], start=1):
+            inp = nn.relu(h)
+            ans_conv, _ = ContinuousConvLayer(ch, name=f"conv{i}", **conv_args)(
+                pad0(inp), None, None, None, fused=fused_self
+            )
+            ans_d = nn.Dense(ch, name=f"dense{i}")(inp)
+            if ch == h.shape[-1]:
+                h = ans_conv + ans_d + h  # residual (reference :127-128)
+            else:
+                h = ans_conv + ans_d
+
+        pos_correction = fused_cconv.unsort_values(
+            self.correction_scale * h, qplan
+        )
+        pos_corrected = pos_new + pos_correction
+        vel_corrected = (pos_corrected - pos) / self.timestep
+        num_fluid_neighbors = fused_cconv.unsort_values(
+            counts[:, None], qplan
+        )[:, 0]
+        if return_diag:
+            # no K caps exist on this path — `cap_exceeded` is structurally
+            # impossible; `grid_overflow` carries the slab/group capacity flag
+            diag = {
+                "grid_overflow": overflow,
+                "cap_exceeded": jnp.asarray(False),
+            }
+            return pos_corrected, vel_corrected, num_fluid_neighbors, diag
+        return pos_corrected, vel_corrected, num_fluid_neighbors
+
     @nn.compact
     def __call__(self, pos, vel, box, box_feats, feats=None, return_diag=False,
                  box_grid=None):
@@ -340,6 +476,12 @@ class ParticleNet(nn.Module):
         box_feats = jax.lax.stop_gradient(box_feats)
 
         pos_new, vel_new = self.integrate_pos_vel(pos, vel)
+
+        if self.search_backend == "fused_cconv" and self.shard_axis is None:
+            return self._fused_forward(
+                pos, pos_new, vel_new, box, box_feats, feats, return_diag,
+                box_grid,
+            )
 
         halo_over = jnp.asarray(False)
         halo_valid = None

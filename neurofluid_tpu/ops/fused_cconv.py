@@ -50,10 +50,10 @@ pstarts[col' * d2 + z_hi + 2]) for the group's query z-cell range
 lane mask — they are real particles from farther cells whose window weight
 need not be zero).
 
-SHAPES (defaults; v5e-tuned): T_g = 16 queries/group on sublanes,
-SLAB_CAP = 128 candidates/slab on lanes — the per-pair math runs in full
-(16, 128) vregs. The group's 9 slab walks run as a fori_loop carrying the
-(T*T_g, C) accumulator in VMEM.
+SHAPES (defaults, sized for v5e vregs): T_g = 16 queries/group on
+sublanes, SLAB_CAP = 128 candidates/slab on lanes — the per-pair math runs
+in full (16, 128) vregs. The group's 9 slab walks run as a fori_loop
+carrying the (T*T_g, C) accumulator in VMEM.
 
 GRADIENTS: custom VJP. Differentiable w.r.t. query/candidate positions
 (through the ball->cube map, trilinear weights and window — the property
@@ -92,7 +92,11 @@ from neurofluid_tpu.ops import cconv as cconv_ops
 _SENTINEL = 1e9
 GROUP_SIZE = 16   # T_g: queries per group (sublane dim of the pair math)
 SLAB_CAP = 128    # S: candidate slab length (lane dim of the pair math)
-FOLD_UNROLL = 8   # unroll of the 64-tap fold-W fori_loop
+# The 64-tap fold-W contractions are PYTHON-UNROLLED with STATIC slices:
+# Mosaic's in-kernel scan lowering rejects partial unrolls (only unroll=1 or
+# full) AND has no lowering for dynamic_slice on VALUES (only on refs) —
+# both measured on v5e in round 5. Static slices match how the tap-weight
+# blocks are already built in _slab_contrib.
 
 
 def _cell_dims(lower, upper, cell_size):
@@ -102,10 +106,17 @@ def _cell_dims(lower, upper, cell_size):
     )
 
 
-class CConvPlan(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class CConvPlan:
     """Cell-sort + column-grouping of one point set (queries and/or
-    candidates). All arrays are device arrays; `dims`, `n_groups`,
-    `group_size`, `slab_cap`, `cell_size`, `n` are static.
+    candidates).
+
+    Registered as a pytree with (dims, n, n_groups, group_size, slab_cap,
+    cell_size) as STATIC aux data — like ops/neighbor_search.CellGrid — so
+    a prebuilt plan can cross jit/remat boundaries (the static boundary
+    particles' plan is built once per scene and passed into every step;
+    NamedTuple auto-flattening would turn these ints into tracers and the
+    kernel's static shapes could not be derived from them).
 
     order:      (N,) int32 sort order (dense row r holds original point
                 order[r]).
@@ -122,22 +133,45 @@ class CConvPlan(NamedTuple):
     overflow:   () bool — true slab length > slab_cap, or group bound hit.
     """
 
-    order: jax.Array
-    inv_rank: jax.Array
-    pos_s: jax.Array
-    pstarts: jax.Array
-    gcol: jax.Array
-    gzlo: jax.Array
-    gzhi: jax.Array
-    gstart: jax.Array
-    rows_map: jax.Array
-    overflow: jax.Array
-    dims: tuple
-    n: int
-    n_groups: int
-    group_size: int
-    slab_cap: int
-    cell_size: float
+    _ARRAY_FIELDS = ("order", "inv_rank", "pos_s", "pstarts", "gcol",
+                     "gzlo", "gzhi", "gstart", "rows_map", "overflow")
+    _STATIC_FIELDS = ("dims", "n", "n_groups", "group_size", "slab_cap",
+                      "cell_size")
+
+    def __init__(self, order, inv_rank, pos_s, pstarts, gcol, gzlo, gzhi,
+                 gstart, rows_map, overflow, dims, n, n_groups, group_size,
+                 slab_cap, cell_size):
+        self.order = order
+        self.inv_rank = inv_rank
+        self.pos_s = pos_s
+        self.pstarts = pstarts
+        self.gcol = gcol
+        self.gzlo = gzlo
+        self.gzhi = gzhi
+        self.gstart = gstart
+        self.rows_map = rows_map
+        self.overflow = overflow
+        self.dims = tuple(dims)
+        self.n = int(n)
+        self.n_groups = int(n_groups)
+        self.group_size = int(group_size)
+        self.slab_cap = int(slab_cap)
+        self.cell_size = float(cell_size)
+
+    def _replace(self, **kw):
+        args = {f: getattr(self, f)
+                for f in self._ARRAY_FIELDS + self._STATIC_FIELDS}
+        args.update(kw)
+        return CConvPlan(**args)
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
+        aux = tuple(getattr(self, f) for f in self._STATIC_FIELDS)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
 
 def build_plan(
@@ -360,7 +394,8 @@ def _axis_taps(u, k: int):
 
 def _slab_contrib(qx, qy, qz, cx, cy, cz, feats, valid,
                   radius: float, ksize: tuple, t_g: int,
-                  exclude_zero: bool = False):
+                  exclude_zero: bool = False,
+                  precision=jax.lax.Precision.HIGHEST):
     """One candidate slab's contribution to the group's tap-feature sums.
 
     qx/qy/qz (T_g, 1) query coordinate columns; cx/cy/cz (1, S) candidate
@@ -471,47 +506,47 @@ def _slab_contrib(qx, qy, qz, cx, cy, cz, feats, valid,
     tw = jnp.concatenate(blocks, axis=0)  # (T*T_g, S)
     acc = jax.lax.dot_general(
         tw, feats, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     )  # (T*T_g, C)
     return acc, cnt
 
 
-def _fold_w(acc, w, t_g: int, n_taps: int, cin: int, cout: int):
+def _fold_w(acc, w, t_g: int, n_taps: int, cin: int, cout: int,
+            precision=jax.lax.Precision.HIGHEST):
     """out (T_g, Cout) = sum_t acc[t*T_g:(t+1)*T_g, :] @ W[t] — the in-kernel
     filter contraction. `w` is a (n_taps * cin, cout) array (kernels read
-    their VMEM ref once and pass the value)."""
-
-    def body(t, out):
-        a = jax.lax.dynamic_slice(acc, (t * t_g, 0), (t_g, cin))
-        wt = jax.lax.dynamic_slice(w, (t * cin, 0), (cin, cout))
-        return out + jax.lax.dot_general(
+    their VMEM ref once and pass the value). Python-unrolled static slices
+    (see the module constants note on Mosaic's loop/slice constraints)."""
+    out = jnp.zeros((t_g, cout), jnp.float32)
+    for t in range(n_taps):
+        a = jax.lax.slice(acc, (t * t_g, 0), ((t + 1) * t_g, cin))
+        wt = jax.lax.slice(w, (t * cin, 0), ((t + 1) * cin, cout))
+        out = out + jax.lax.dot_general(
             a, wt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
-
-    out0 = jnp.zeros((t_g, cout), jnp.float32)
-    return jax.lax.fori_loop(0, n_taps, body, out0, unroll=FOLD_UNROLL)
+    return out
 
 
-def _unfold_w(ct, w, t_g: int, n_taps: int, cin: int, cout: int):
+def _unfold_w(ct, w, t_g: int, n_taps: int, cin: int, cout: int,
+              precision=jax.lax.Precision.HIGHEST):
     """d_acc (n_taps*T_g, Cin) from the group cotangent ct (T_g, Cout):
     rows [t*T_g, (t+1)*T_g) = ct @ W[t]^T (contraction over Cout)."""
-
-    def body(t, d_acc):
-        wt = jax.lax.dynamic_slice(w, (t * cin, 0), (cin, cout))
-        blk = jax.lax.dot_general(
+    blocks = []
+    for t in range(n_taps):
+        wt = jax.lax.slice(w, (t * cin, 0), ((t + 1) * cin, cout))
+        blocks.append(jax.lax.dot_general(
             ct, wt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (T_g, Cin)
-        return jax.lax.dynamic_update_slice(d_acc, blk, (t * t_g, 0))
-
-    d0 = jnp.zeros((n_taps * t_g, cin), jnp.float32)
-    return jax.lax.fori_loop(0, n_taps, body, d0, unroll=FOLD_UNROLL)
+            preferred_element_type=jnp.float32, precision=precision,
+        ))  # (T_g, Cin)
+    return jnp.concatenate(blocks, axis=0)
 
 
 def _transpose2d(x):
     """2-D transpose; isolated so the Mosaic lowering strategy can be
-    swapped in one place if lax.transpose is rejected on a target."""
+    swapped in one place if lax.transpose is rejected on a target.
+    (Measured on v5e: replacing these with a dummy broadcast moved the
+    14k-particle train step only 692 -> 672 ms — NOT a bottleneck.)"""
     return jax.lax.transpose(x, (1, 0))
 
 
@@ -559,7 +594,7 @@ def _fwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
                 qpos_ref, cpos_ref, feats_ref, w_ref, out_ref, cnt_ref, *,
                 radius: float, ksize: tuple, t_g: int, s_cap: int,
                 dims: tuple, cin: int, cout: int, self_mode: bool,
-                n_c: int):
+                n_c: int, precision=jax.lax.Precision.HIGHEST):
     g = pl.program_id(0)
     d0, d1, d2 = dims
     n_cols = d0 * d1
@@ -591,6 +626,7 @@ def _fwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
             a, c = _slab_contrib(
                 qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :],
                 fb, valid, radius, ksize, t_g, exclude_zero=self_mode,
+                precision=precision,
             )
             return acc + a, cnt + c
 
@@ -600,7 +636,8 @@ def _fwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
              jnp.zeros((t_g, 1), jnp.float32)),
         )
         w = w_ref[:, :]
-        out_ref[0, :, :] = _fold_w(acc, w, t_g, n_taps, cin, cout)
+        out_ref[0, :, :] = _fold_w(acc, w, t_g, n_taps, cin, cout,
+                                   precision=precision)
         cnt_ref[0, :, :] = jnp.concatenate(
             [cnt, jnp.zeros((t_g, 7), jnp.float32)], axis=1
         )
@@ -611,7 +648,7 @@ def _bwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
                 dq_ref, dc_ref, df_ref, dw_ref, *,
                 radius: float, ksize: tuple, t_g: int, s_cap: int,
                 dims: tuple, cin: int, cout: int, self_mode: bool,
-                n_c: int, n_q: int):
+                n_c: int, n_q: int, precision=jax.lax.Precision.HIGHEST):
     g = pl.program_id(0)
     d0, d1, d2 = dims
     n_cols = d0 * d1
@@ -638,42 +675,16 @@ def _bwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
         ct = ctg_ref[0, :, :]  # (T_g, Cout); padded slots pre-zeroed
         w = w_ref[:, :]
 
-        # pass 1: recompute acc (needed for dW)
-        def fwd_body(i, acc):
-            start, length = _slab_range(
-                i, col, z0, z1, pstarts_ref, dims, n_cols, n_c
-            )
-            cb = cpos_ref[pl.ds(start, s_cap), :]
-            cbt = _transpose2d(cb)
-            fb = feats_ref[pl.ds(start, s_cap), :]
-            valid = _pair_valid(length, t_g, s_cap)
-            a, _ = _slab_contrib(
-                qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :],
-                fb, valid, radius, ksize, t_g, exclude_zero=self_mode,
-            )
-            return acc + a
-
-        acc = jax.lax.fori_loop(
-            0, 9, fwd_body, jnp.zeros((n_taps * t_g, cin), jnp.float32)
-        )
-
-        # dW[t] += acc_t^T @ ct (contraction over the T_g rows)
-        def dw_body(t, _):
-            a = jax.lax.dynamic_slice(acc, (t * t_g, 0), (t_g, cin))
-            blk = jax.lax.dot_general(
-                a, ct, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Cin, Cout)
-            dw_ref[pl.ds(t * cin, cin), :] += blk
-            return 0
-
-        jax.lax.fori_loop(0, n_taps, dw_body, 0, unroll=FOLD_UNROLL)
-
-        d_acc = _unfold_w(ct, w, t_g, n_taps, cin, cout)
+        d_acc = _unfold_w(ct, w, t_g, n_taps, cin, cout,
+                          precision=precision)
         zc = jnp.zeros((t_g, 1), jnp.float32)
 
-        # pass 2: per-slab vjp with the shared d_acc cotangent
-        def bwd_body(i, dq_acc):
+        # ONE slab pass: jax.vjp computes the slab's PRIMAL output alongside
+        # the pullback, so the acc needed for dW is accumulated here for free
+        # — the old separate forward-recompute pass (9 more slab walks per
+        # group, ~+50% kernel time) is gone.
+        def bwd_body(i, carry):
+            dq_acc, acc = carry
             start, length = _slab_range(
                 i, col, z0, z1, pstarts_ref, dims, n_cols, n_c
             )
@@ -685,10 +696,10 @@ def _bwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
             def f(a1, a2, a3, b1, b2, b3, fe):
                 return _slab_contrib(
                     a1, a2, a3, b1, b2, b3, fe, valid, radius, ksize, t_g,
-                    exclude_zero=self_mode,
+                    exclude_zero=self_mode, precision=precision,
                 )
 
-            _, vjpfn = jax.vjp(
+            (a, _cnt), vjpfn = jax.vjp(
                 f, qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :], fb
             )
             dqx, dqy, dqz, dcx, dcy, dcz, dfb = vjpfn((d_acc, zc))
@@ -697,14 +708,27 @@ def _bwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
             )  # (S, 3)
             dc_ref[pl.ds(start, s_cap), :] += dcb
             df_ref[pl.ds(start, s_cap), :] += dfb
-            return dq_acc + jnp.concatenate(
+            dq_acc = dq_acc + jnp.concatenate(
                 [dqx, dqy, dqz], axis=1
             )  # (T_g, 3)
+            return dq_acc, acc + a
 
-        dq = jax.lax.fori_loop(
-            0, 9, bwd_body, jnp.zeros((t_g, 3), jnp.float32)
+        dq, acc = jax.lax.fori_loop(
+            0, 9, bwd_body,
+            (jnp.zeros((t_g, 3), jnp.float32),
+             jnp.zeros((n_taps * t_g, cin), jnp.float32)),
         )
         dq_ref[pl.ds(q0, t_g), :] += dq
+
+        # dW[t] += acc_t^T @ ct (contraction over the T_g rows);
+        # python-unrolled static ref slices (Mosaic loop/slice constraints)
+        for t in range(n_taps):
+            a = jax.lax.slice(acc, (t * t_g, 0), ((t + 1) * t_g, cin))
+            blk = jax.lax.dot_general(
+                a, ct, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (Cin, Cout)
+            dw_ref[pl.ds(t * cin, cin), :] += blk
 
 
 # ---------------------------------------------------------------------------
@@ -727,6 +751,26 @@ class _Cfg(NamedTuple):
     n_c: int
     ng: int
     interpret: bool
+    precision: str
+
+
+# Scoped-VMEM budget for the kernels. The default 16 MB limit rejects the
+# backward at the 14k working point: every (N, 3) position/cotangent array
+# tile-pads its lane dim 3 -> 128 (7.4 MB each at N=14464), and the widest
+# layer (Cin=96) keeps feats + dfeats + w + dw resident too (~51 MB total).
+# v5e VMEM is large enough (ops/segment_ops runs with a 100 MB budget).
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _kernel_precision(name: str):
+    """Mosaic's dot lowering supports only DEFAULT and HIGHEST — 'high'
+    (bf16_3x) raises NotImplementedError on v5e (measured, round 5). The
+    kernel's matmuls are small relative to its bandwidth work, so 'high'
+    maps to f32-exact HIGHEST instead."""
+    up = name.upper()
+    if up == "HIGH":
+        up = "HIGHEST"
+    return getattr(jax.lax.Precision, up)
 
 
 def _vmem_spec():
@@ -749,6 +793,7 @@ def _run_fwd(cfg: _Cfg, qpos_s, cpos_s, feats_s, w2,
         _fwd_kernel, radius=cfg.radius, ksize=cfg.ksize, t_g=cfg.t_g,
         s_cap=cfg.s_cap, dims=cfg.dims, cin=cfg.cin, cout=cfg.cout,
         self_mode=cfg.self_mode, n_c=cfg.n_c,
+        precision=_kernel_precision(cfg.precision),
     )
     out, cnt = pl.pallas_call(
         kern,
@@ -757,6 +802,9 @@ def _run_fwd(cfg: _Cfg, qpos_s, cpos_s, feats_s, w2,
             jax.ShapeDtypeStruct((cfg.ng, cfg.t_g, cfg.cout), jnp.float32),
             jax.ShapeDtypeStruct((cfg.ng, cfg.t_g, 8), jnp.float32),
         ],
+        compiler_params=None if cfg.interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=cfg.interpret,
     )(gcol, gzlo, gzhi, gstart, pstarts, qpos_s, cpos_s, feats_s, w2)
     return out, cnt
@@ -778,6 +826,7 @@ def _run_bwd(cfg: _Cfg, qpos_s, cpos_s, feats_s, w2, ct_group,
         _bwd_kernel, radius=cfg.radius, ksize=cfg.ksize, t_g=cfg.t_g,
         s_cap=cfg.s_cap, dims=cfg.dims, cin=cfg.cin, cout=cfg.cout,
         self_mode=cfg.self_mode, n_c=cfg.n_c, n_q=cfg.n_q,
+        precision=_kernel_precision(cfg.precision),
     )
     dq, dc, df, dw = pl.pallas_call(
         kern,
@@ -788,6 +837,9 @@ def _run_bwd(cfg: _Cfg, qpos_s, cpos_s, feats_s, w2, ct_group,
             jax.ShapeDtypeStruct(feats_s.shape, jnp.float32),
             jax.ShapeDtypeStruct((n_taps * cfg.cin, cfg.cout), jnp.float32),
         ],
+        compiler_params=None if cfg.interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=cfg.interpret,
     )(gcol, gzlo, gzhi, gstart, pstarts, qpos_s, cpos_s, feats_s, w2,
       ct_group)
@@ -852,6 +904,7 @@ def fused_cconv(
     radius: float,
     exclude_self: bool,
     interpret: bool | None = None,
+    precision: str = "highest",
 ):
     """Fused continuous convolution over the 27-cell candidate range.
 
@@ -871,6 +924,22 @@ def fused_cconv(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # geometric preconditions (not just in `slab_overflow`): the 27-cell
+    # cover is only a superset of the true neighborhood when the cell size
+    # is >= the radius, and the query groups index the candidate pstarts by
+    # cell id — both plans must agree on the grid geometry. Violating either
+    # would SILENTLY drop true neighbors, against the module's policy.
+    if qplan.dims != cplan.dims:
+        raise ValueError(
+            f"query/candidate plans disagree on grid dims: "
+            f"{qplan.dims} vs {cplan.dims}"
+        )
+    if radius > min(qplan.cell_size, cplan.cell_size) * (1 + 1e-6):
+        raise ValueError(
+            f"radius {radius} > plan cell_size "
+            f"{min(qplan.cell_size, cplan.cell_size)}: the 27-cell candidate "
+            f"cover would miss true neighbors"
+        )
     kz, ky, kx = weights.shape[:3]
     cin, cout = weights.shape[3], weights.shape[4]
     w2 = weights.reshape(kz * ky * kx * cin, cout).astype(jnp.float32)
@@ -880,6 +949,7 @@ def fused_cconv(
         s_cap=cplan.slab_cap, dims=qplan.dims, cin=int(cin), cout=int(cout),
         self_mode=bool(exclude_self), n_q=qplan.n, n_c=cplan.n,
         ng=qplan.n_groups, interpret=bool(interpret),
+        precision=str(precision),
     )
     out_g, cnt_g = _fused_cconv_call(
         cfg, qpos_s, cpos_s, feats_s, w2,

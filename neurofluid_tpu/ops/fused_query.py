@@ -35,14 +35,15 @@ there is no backward kernel to write, compile, or pay for.
 Backends: 'xla' (shares `_cell_compact` verbatim — correctness reference,
 runs anywhere) and 'pallas' (TPU). 'auto' picks pallas on TPU.
 
-TPU STATUS (round 3): experimental, not the production default. On a real
-v5e the kernel at the ParticleNet working point (K=64, cap=32, group T=32)
-exhausts VMEM: the grouping allocates one output row per PADDED group
-(~12k groups for 14,336 queries over an 11.5k-cell grid), and Mosaic
-stacks the (T, K, cap) one-hot scatter per group. Making this win needs
-occupancy-compacted grouping (emit rows only for non-empty cells) and a
-lane-reduction emission that never materializes the one-hot — follow-up
-work; `ParticleNet.search_backend='grid'` remains the measured-fast path.
+TPU STATUS (round 4, commit 487405e): the grouping is now
+OCCUPANCY-COMPACTED (rows emitted only for non-empty cells), which fixed
+the round-3 VMEM exhaustion — the kernel runs on a real v5e at the
+ParticleNet working point and the measured 2-step transition train step
+improved 519.7 -> 431.6 ms when selected via `search_backend='fused'`.
+It is still not the default: the round-4/5 speed path for the transition
+model is `search_backend='fused_cconv'` (ops/fused_cconv — no neighbor
+lists at all), which subsumes this kernel's role in ParticleNet; 'fused'
+remains available for consumers that need explicit compact lists.
 """
 
 from __future__ import annotations

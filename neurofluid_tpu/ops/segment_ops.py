@@ -186,6 +186,11 @@ def segment_sum_accumulate(flat_vals: jax.Array, idx: jax.Array, n: int,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if block % streams:
+        # the kernel's fori_loop covers exactly streams * (block // streams)
+        # slots per block — a non-divisible block would silently skip the tail
+        raise ValueError(f"block ({block}) must be divisible by streams "
+                         f"({streams})")
     m, c = flat_vals.shape
     mp = -(-m // block) * block
     vals = jnp.pad(flat_vals.astype(jnp.float32), ((0, mp - m), (0, 0)))

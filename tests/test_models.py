@@ -188,6 +188,81 @@ class TestParticleNet:
         np.testing.assert_array_equal(np.asarray(nn_b), np.asarray(nn_g))
         np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_g), atol=2e-5)
 
+    def test_fused_cconv_backend_matches_brute(self, rng):
+        """The selection-free fused backend (ops/fused_cconv) is exact
+        UNCAPPED reference semantics — forward + counts must match the
+        uncapped brute pipeline (interpret-mode kernels on CPU). Sized for
+        the fast suite: tight grid bounds + coarse cells keep the
+        interpret-mode group count low (cost scales with it); the op-level
+        gradient parity lives in tests/test_fused_cconv.py and the
+        full-model gradient parity in the slow variant below."""
+        pos, vel, box, nrm = _scene(rng, n=64, m=24)
+        tight = dict(grid_lower=(-0.5, -0.5, -0.65),
+                     grid_upper=(0.5, 0.5, 0.55), fused_cell_scale=2.0,
+                     layer_channels=(8, 24, 3))
+        net_b = ParticleNet(search_backend="brute", fluid_neighbor_k=64,
+                            layer_channels=(8, 24, 3))
+        net_f = ParticleNet(search_backend="fused_cconv", **tight)
+        params = net_b.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+        p_b, v_b, nn_b = net_b.apply(params, pos, vel, box, nrm)
+        p_f, v_f, nn_f, diag = net_f.apply(
+            params, pos, vel, box, nrm, return_diag=True
+        )
+        assert not bool(diag["grid_overflow"])
+        assert not bool(diag["cap_exceeded"])
+        np.testing.assert_array_equal(np.asarray(nn_b), np.asarray(nn_f))
+        np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_b), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_b), atol=1.5e-3)
+
+    @pytest.mark.slow
+    def test_fused_cconv_gradients_match_brute(self, rng):
+        """Full-model gradient parity (params AND positions) of the fused
+        backend vs the uncapped brute pipeline at the default layer widths."""
+        pos, vel, box, nrm = _scene(rng, n=96, m=32)
+        tight = dict(grid_lower=(-0.5, -0.5, -0.65),
+                     grid_upper=(0.5, 0.5, 0.55))
+        net_b = ParticleNet(search_backend="brute", fluid_neighbor_k=96)
+        net_f = ParticleNet(search_backend="fused_cconv", **tight)
+        params = net_b.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+
+        def loss(net, prm, pp):
+            out_pos, out_vel, _ = net.apply(prm, pp, vel, box, nrm)
+            w = jnp.cos(jnp.arange(out_pos.size, dtype=jnp.float32))
+            return jnp.sum(out_pos * w.reshape(out_pos.shape))
+
+        g_b = jax.grad(lambda prm, pp: loss(net_b, prm, pp), argnums=(0, 1))(
+            params, pos
+        )
+        g_f = jax.grad(lambda prm, pp: loss(net_f, prm, pp), argnums=(0, 1))(
+            params, pos
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_b), jax.tree_util.tree_leaves(g_f)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-5
+            )
+
+    def test_fused_cconv_box_plan_reuse(self, rng):
+        """`make_grid` returns a candidate-only CConvPlan on the fused
+        backend; passing it as `box_grid` must match the rebuilt-inside path
+        (the trainers' static-box optimization)."""
+        pos, vel, box, nrm = _scene(rng, n=48, m=24)
+        net_f = ParticleNet(search_backend="fused_cconv",
+                            grid_lower=(-0.5, -0.5, -0.65),
+                            grid_upper=(0.5, 0.5, 0.55),
+                            fused_cell_scale=2.0,
+                            layer_channels=(8, 24, 3))
+        params = net_f.init(jax.random.PRNGKey(0), pos, vel, box, nrm)
+        plan = net_f.make_grid(box)
+        from neurofluid_tpu.ops.fused_cconv import CConvPlan
+
+        assert isinstance(plan, CConvPlan)
+        p0, v0, n0 = net_f.apply(params, pos, vel, box, nrm)
+        p1, v1, n1 = net_f.apply(params, pos, vel, box, nrm, box_grid=plan)
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+
 
 def _tiny_renderer(**kw):
     defaults = dict(

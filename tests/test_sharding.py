@@ -23,15 +23,13 @@ def _run_subprocess(code: str, n_devices: int = 8, timeout: int = 560):
         + f" --xla_force_host_platform_device_count={n_devices}"
     ).strip()
     env["PYTHONPATH"] = REPO
-    # CPU cache dir keyed by host CPU features (see tests/conftest.py — AOT
-    # entries from a different VM generation SIGABRT on load)
-    import conftest
-
+    # NO persistent compile cache here: the XLA:CPU AOT serialize/load path
+    # is a measured 20x pessimization for these big multi-device programs
+    # (25.5 s scratch compile vs 587 s with the cache; see
+    # parallel/dryrun.py's module note).
     preamble = (
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
-        f"jax.config.update('jax_compilation_cache_dir', {conftest._cpu_cache_dir()!r})\n"
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)\n"
     )
     proc = subprocess.run(
         [sys.executable, "-c", preamble + code],
@@ -126,19 +124,34 @@ def test_sharded_e2e_matches_single_device():
     assert "MATCH_OK" in out
 
 
-def test_composed_rays_particles_sharding():
-    """docs/DESIGN.md claims ray sharding and particle sharding compose (rays
-    on one mesh axis, particles on another); this runs them in ONE program on
-    a (2, 4) mesh — shard_map transition over 'particles' feeding a
-    GSPMD-ray-sharded render + joint grads — and pins it to the replicated
-    result (round-3 VERDICT weak item 7)."""
-    out = _run_subprocess(
+def _composed_check(impl: str, timeout: int = 560) -> str:
+    return _run_subprocess(
         "import numpy as np\n"
         "from neurofluid_tpu.parallel import dryrun\n"
-        "comp, repl = dryrun.run_composed_step(8)\n"
+        f"comp, repl = dryrun.run_composed_step(8, impl={impl!r})\n"
+        "# f32 reduction-order noise only: f64 agreement is 1e-7/7e-6\n"
         "np.testing.assert_allclose(comp['loss'], repl['loss'], rtol=1e-5)\n"
-        "np.testing.assert_allclose(comp['grad_norm_r'], repl['grad_norm_r'], rtol=1e-4)\n"
-        "np.testing.assert_allclose(comp['grad_norm_t'], repl['grad_norm_t'], rtol=1e-4)\n"
-        "print('COMPOSED_OK', comp, repl)\n"
+        "np.testing.assert_allclose(comp['grad_norm_r'], repl['grad_norm_r'], rtol=2e-3)\n"
+        "np.testing.assert_allclose(comp['grad_norm_t'], repl['grad_norm_t'], rtol=2e-3)\n"
+        "np.testing.assert_allclose(comp['next_pos'], repl['next_pos'], atol=1e-5)\n"
+        "print('COMPOSED_OK', comp['loss'], repl['loss'])\n",
+        timeout=timeout,
     )
-    assert "COMPOSED_OK" in out
+
+
+def test_composed_rays_particles_sharding():
+    """docs/DESIGN.md claims ray sharding and particle sharding compose (rays
+    on one mesh axis, particles on another); this runs the FULL e2e train
+    step (both Adam updates included) in ONE explicit-SPMD program on a
+    (2, 4) mesh — shard_map over the whole step, rays owned once across both
+    axes, ownership-weighted loss psums — and pins loss/grads/positions to
+    the replicated eager result (parallel/sharding.make_spmd_e2e_step)."""
+    assert "COMPOSED_OK" in _composed_check("spmd")
+
+
+def test_composed_gspmd_rays_particles_sharding():
+    """Same composed check through the GSPMD path
+    (parallel/sharding.make_composed_e2e_step — shard_map transition nested
+    in a ray-sharded jit). The partitioner makes this the most expensive
+    compile in the suite; the dryrun uses the spmd variant for that reason."""
+    assert "COMPOSED_OK" in _composed_check("gspmd", timeout=900)

