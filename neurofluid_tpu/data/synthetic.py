@@ -465,6 +465,14 @@ def generate_pbf_raw_dataset(
         # its fluid blocks, create_physics_scenes.py)
         vel0 = vel0 + rng.uniform([-1.5, -1.5, -0.5], [1.5, 1.5, 0.0])
         vel0 = vel0.astype(np.float32)
+        # skip-complete: all rng draws above already happened, so growing
+        # n_sims later reuses existing sims bit-identically and only
+        # simulates the new ones
+        last = osp.join(sim_dir, "output", f"fluid_{n_frames - 1:04d}.npz")
+        if osp.exists(last) and osp.exists(osp.join(sim_dir, "box.pt")):
+            if log is not None:
+                log(f"pbf sim {s + 1}/{n_sims} already complete, skipped")
+            continue
         positions, velocities = simulate_pbf(
             pos0, vel0, n_frames, seed=seed + s
         )

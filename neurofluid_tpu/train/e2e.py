@@ -230,6 +230,11 @@ class E2ETrainer(TrainerBase):
             grid_max_per_cell=int(cfg.TRAIN.get("grid_max_per_cell", 32)),
             query_chunk=int(cfg.TRAIN.get("query_chunk", 4096)),
             conv_precision=cfg.TRAIN.get("conv_precision", "highest"),
+            # see transition.build_particle_net: trainer-facing fused_cconv
+            # capacity defaults are higher than the compact-lattice bench's
+            fused_group_size=int(cfg.TRAIN.get("fused_group_size", 16)),
+            fused_slab_cap=int(cfg.TRAIN.get("fused_slab_cap", 256)),
+            fused_cell_scale=float(cfg.TRAIN.get("fused_cell_scale", 1.0)),
         )
         self.renderer = build_renderer(cfg)
 

@@ -60,6 +60,15 @@ def build_particle_net(cfg) -> ParticleNet:
         grid_max_per_cell=int(cfg.TRAIN.get("grid_max_per_cell", 32)),
         query_chunk=int(cfg.TRAIN.get("query_chunk", 4096)),
         conv_precision=cfg.TRAIN.get("conv_precision", "highest"),
+        # fused_cconv capacity: a slab is ONE neighbor column over a query
+        # group's z-range, so its length is bounded by the column's total
+        # occupancy, not by K. Splashy/rotated training states make sparse
+        # columns whose 16-row groups span many z-cells — the bench default
+        # (128, sized for the compact lattice) overflows there. Trainers
+        # default higher; the flag still fail-louds if even this is short.
+        fused_group_size=int(cfg.TRAIN.get("fused_group_size", 16)),
+        fused_slab_cap=int(cfg.TRAIN.get("fused_slab_cap", 256)),
+        fused_cell_scale=float(cfg.TRAIN.get("fused_cell_scale", 1.0)),
     )
 
 

@@ -92,6 +92,13 @@ RENDER_STRIDE = int(os.environ.get("PROTO_RENDER_STRIDE", 1))
 SEARCH_BACKEND = os.environ.get("PROTO_SEARCH", "fused_cconv")
 CONV_PREC = os.environ.get("PROTO_CONV_PREC", "default")
 ANCHOR = os.environ.get("PROTO_ANCHOR", "1") == "1"
+# fused_cconv slab capacity: a slab's length is bounded by one column's
+# occupancy over a query group's z-range, NOT by any K. Measured on the PBF
+# pretrain set WITH z-rotation augmentation: worst fluid slab 216 (box 65)
+# across sims/frames/rotations, vs the compact-lattice bench default 128.
+# 320 leaves ~50% headroom for training-time drift; the fail-loud overflow
+# flag still guards the residual.
+FUSED_SLAB = int(os.environ.get("PROTO_FUSED_SLAB", 320))
 
 
 def scene_cfg(n_frames=61):
@@ -198,6 +205,7 @@ def main():
         "e2e_renderer_lr": E2E_RENDERER_LR, "e2e_grad_clip": 1.0,
         "render_stride": RENDER_STRIDE, "search_backend": SEARCH_BACKEND,
         "conv_precision": CONV_PREC, "anchor": ANCHOR,
+        "fused_slab_cap": FUSED_SLAB,
         # LPIPS descope: implementation complete and torch-validated
         # (utils/lpips.py, tests/test_lpips.py) but VGG weights cannot be
         # produced on this box (zero egress; no torchvision weights cache) —
@@ -278,7 +286,7 @@ def main():
                    grid_lower=[-1.45, -1.45, -1.05],
                    grid_upper=[1.45, 1.45, 2.55],
                    pretrained="", search_backend=SEARCH_BACKEND,
-                   conv_precision=CONV_PREC,
+                   conv_precision=CONV_PREC, fused_slab_cap=FUSED_SLAB,
                    datapath=dict(train=PRETRAIN, train_datatype="raw",
                                  eval=SCENE, eval_datatype="blender_all")),
     ))
@@ -327,6 +335,7 @@ def main():
                    loss_weight=dict(boundary_loss=1.0),
                    fluid_neighbor_k=128, obstacle_neighbor_k=64,
                    grid_max_per_cell=64, conv_precision=CONV_PREC,
+                   fused_slab_cap=FUSED_SLAB,
                    anchor=dict(enabled=ANCHOR, weight=1.0, rays=1024,
                                n_views=2),
                    pretrained_renderer=wt.modelpath,
