@@ -51,9 +51,13 @@ lane mask — they are real particles from farther cells whose window weight
 need not be zero).
 
 SHAPES (defaults, sized for v5e vregs): T_g = 16 queries/group on
-sublanes, SLAB_CAP = 128 candidates/slab on lanes — the per-pair math runs
-in full (16, 128) vregs. The group's 9 slab walks run as a fori_loop
-carrying the (T*T_g, C) accumulator in VMEM.
+sublanes; slabs are walked in _SLAB_CHUNK = 128-candidate pieces on lanes —
+the per-pair math runs in full (16, 128) vregs. The group's 9 slab walks
+run as a fori_loop carrying the (T*T_g, C) accumulator in VMEM; within a
+slab, an inner fori_loop with DYNAMIC trip count ceil(true_len / 128)
+walks the chunks, so kernel cost tracks the true cell occupancy while
+SLAB_CAP is only the fail-loudly capacity bound (raising it for splashy
+training states is free).
 
 GRADIENTS: custom VJP. Differentiable w.r.t. query/candidate positions
 (through the ball->cube map, trilinear weights and window — the property
@@ -91,7 +95,15 @@ from neurofluid_tpu.ops import cconv as cconv_ops
 
 _SENTINEL = 1e9
 GROUP_SIZE = 16   # T_g: queries per group (sublane dim of the pair math)
-SLAB_CAP = 128    # S: candidate slab length (lane dim of the pair math)
+SLAB_CAP = 128    # S: candidate slab length bound (fail-loudly capacity)
+# CHUNKED WALK: each slab is processed in _SLAB_CHUNK-lane pieces with a
+# DYNAMIC trip count ceil(true_len / chunk), so per-group cost tracks the
+# TRUE slab occupancy, not SLAB_CAP — raising the cap for splashy/rotated
+# training states (trainers use 256-320 vs the compact-lattice 128) no
+# longer multiplies kernel time, and empty/out-of-grid slabs cost zero
+# iterations. 128 = one full vreg lane row; smaller chunks would pad to
+# 128 lanes anyway.
+_SLAB_CHUNK = 128
 # The 64-tap fold-W contractions are PYTHON-UNROLLED with STATIC slices:
 # Mosaic's in-kernel scan lowering rejects partial unrolls (only unroll=1 or
 # full) AND has no lowering for dynamic_slice on VALUES (only on refs) —
@@ -613,22 +625,33 @@ def _fwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
         z1 = jnp.minimum(gzhi_ref[g] + 1, d2 - 1)
         qb = qpos_ref[pl.ds(q0, t_g), :]  # (T_g, 3)
         qx, qy, qz = qb[:, 0:1], qb[:, 1:2], qb[:, 2:3]
+        s_chk = min(s_cap, _SLAB_CHUNK)
 
         def slab_body(i, carry):
-            acc, cnt = carry
             start, length = _slab_range(
                 i, col, z0, z1, pstarts_ref, dims, n_cols, n_c
             )
-            cb = cpos_ref[pl.ds(start, s_cap), :]      # (S, 3)
-            cbt = _transpose2d(cb)                     # (3, S)
-            fb = feats_ref[pl.ds(start, s_cap), :]     # (S, Cin)
-            valid = _pair_valid(length, t_g, s_cap)
-            a, c = _slab_contrib(
-                qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :],
-                fb, valid, radius, ksize, t_g, exclude_zero=self_mode,
-                precision=precision,
-            )
-            return acc + a, cnt + c
+
+            # chunked walk: cost tracks the TRUE slab length, not the
+            # static cap — the cap is only the fail-loudly safety bound
+            # (see the module's CHUNKED WALK note). Empty/edge slabs cost
+            # zero iterations.
+            def chunk_body(j, carry2):
+                acc, cnt = carry2
+                off = start + j * s_chk
+                cb = cpos_ref[pl.ds(off, s_chk), :]    # (S_chk, 3)
+                cbt = _transpose2d(cb)                 # (3, S_chk)
+                fb = feats_ref[pl.ds(off, s_chk), :]   # (S_chk, Cin)
+                valid = _pair_valid(length - j * s_chk, t_g, s_chk)
+                a, c = _slab_contrib(
+                    qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :],
+                    fb, valid, radius, ksize, t_g, exclude_zero=self_mode,
+                    precision=precision,
+                )
+                return acc + a, cnt + c
+
+            n_chunks = (length + s_chk - 1) // s_chk
+            return jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
 
         acc, cnt = jax.lax.fori_loop(
             0, 9, slab_body,
@@ -683,35 +706,46 @@ def _bwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
         # the pullback, so the acc needed for dW is accumulated here for free
         # — the old separate forward-recompute pass (9 more slab walks per
         # group, ~+50% kernel time) is gone.
+        s_chk = min(s_cap, _SLAB_CHUNK)
+
         def bwd_body(i, carry):
-            dq_acc, acc = carry
             start, length = _slab_range(
                 i, col, z0, z1, pstarts_ref, dims, n_cols, n_c
             )
-            cb = cpos_ref[pl.ds(start, s_cap), :]
-            cbt = _transpose2d(cb)
-            fb = feats_ref[pl.ds(start, s_cap), :]
-            valid = _pair_valid(length, t_g, s_cap)
 
-            def f(a1, a2, a3, b1, b2, b3, fe):
-                return _slab_contrib(
-                    a1, a2, a3, b1, b2, b3, fe, valid, radius, ksize, t_g,
-                    exclude_zero=self_mode, precision=precision,
+            # chunked walk, mirroring _fwd_kernel (cost tracks the TRUE
+            # slab length; the RMW accumulate pattern per chunk is the same
+            # dynamic-start '+=' the per-slab version used)
+            def chunk_body(j, carry2):
+                dq_acc, acc = carry2
+                off = start + j * s_chk
+                cb = cpos_ref[pl.ds(off, s_chk), :]
+                cbt = _transpose2d(cb)
+                fb = feats_ref[pl.ds(off, s_chk), :]
+                valid = _pair_valid(length - j * s_chk, t_g, s_chk)
+
+                def f(a1, a2, a3, b1, b2, b3, fe):
+                    return _slab_contrib(
+                        a1, a2, a3, b1, b2, b3, fe, valid, radius, ksize,
+                        t_g, exclude_zero=self_mode, precision=precision,
+                    )
+
+                (a, _cnt), vjpfn = jax.vjp(
+                    f, qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :], fb
                 )
+                dqx, dqy, dqz, dcx, dcy, dcz, dfb = vjpfn((d_acc, zc))
+                dcb = _transpose2d(
+                    jnp.concatenate([dcx, dcy, dcz], axis=0)
+                )  # (S_chk, 3)
+                dc_ref[pl.ds(off, s_chk), :] += dcb
+                df_ref[pl.ds(off, s_chk), :] += dfb
+                dq_acc = dq_acc + jnp.concatenate(
+                    [dqx, dqy, dqz], axis=1
+                )  # (T_g, 3)
+                return dq_acc, acc + a
 
-            (a, _cnt), vjpfn = jax.vjp(
-                f, qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :], fb
-            )
-            dqx, dqy, dqz, dcx, dcy, dcz, dfb = vjpfn((d_acc, zc))
-            dcb = _transpose2d(
-                jnp.concatenate([dcx, dcy, dcz], axis=0)
-            )  # (S, 3)
-            dc_ref[pl.ds(start, s_cap), :] += dcb
-            df_ref[pl.ds(start, s_cap), :] += dfb
-            dq_acc = dq_acc + jnp.concatenate(
-                [dqx, dqy, dqz], axis=1
-            )  # (T_g, 3)
-            return dq_acc, acc + a
+            n_chunks = (length + s_chk - 1) // s_chk
+            return jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
 
         dq, acc = jax.lax.fori_loop(
             0, 9, bwd_body,
