@@ -158,9 +158,12 @@ class ParticleNet(nn.Module):
     # lists at all; exact uncapped reference semantics)
     search_backend: str = "auto"
     # fused_cconv grouping knobs (see ops/fused_cconv.GROUP_SIZE/SLAB_CAP).
-    # fused_cell_scale >= 1 coarsens the plan's cell size (cell = scale *
-    # radius): fewer columns/groups (cheaper plan + interpret mode) but
-    # longer candidate slabs (more masked pair work, larger slab_cap needs).
+    # fused_slab_cap only sizes the sentinel/feature padding — the
+    # segment-packed walk is exact for ANY occupancy (fused_cconv.py
+    # "NO CAPACITY CONDITION"), so there is nothing to tune for splashy
+    # states. fused_cell_scale >= 1 coarsens the plan's cell size (cell =
+    # scale * radius): fewer columns/groups (cheaper plan + interpret
+    # mode) but longer candidate slabs (more masked pair work).
     fused_group_size: int = 16
     fused_slab_cap: int = 128
     fused_cell_scale: float = 1.0
@@ -377,7 +380,9 @@ class ParticleNet(nn.Module):
                 box, self.grid_lower, self.grid_upper, cell,
                 with_groups=False, slab_cap=self.fused_slab_cap,
             )
-        overflow = fused_cconv.slab_overflow(qplan, box_plan)  # includes qplan's
+        # geometry precondition + the defensive group-bound flag; there is
+        # no slab capacity condition (exact at any occupancy)
+        overflow = fused_cconv.slab_overflow(qplan, box_plan)
         qplan = _tag_cconv_plan(qplan)
         S = qplan.slab_cap
         qpos_s = fused_cconv.sort_values(

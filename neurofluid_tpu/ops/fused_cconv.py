@@ -51,13 +51,18 @@ lane mask — they are real particles from farther cells whose window weight
 need not be zero).
 
 SHAPES (defaults, sized for v5e vregs): T_g = 16 queries/group on
-sublanes; slabs are walked in _SLAB_CHUNK = 128-candidate pieces on lanes —
-the per-pair math runs in full (16, 128) vregs. The group's 9 slab walks
-run as a fori_loop carrying the (T*T_g, C) accumulator in VMEM; within a
-slab, an inner fori_loop with DYNAMIC trip count ceil(true_len / 128)
-walks the chunks, so kernel cost tracks the true cell occupancy while
-SLAB_CAP is only the fail-loudly capacity bound (raising it for splashy
-training states is free).
+sublanes; candidates are walked in 128-lane chunks — the per-pair math
+runs in full (16, 128) vregs. The 9 slabs are SEGMENT-PACKED into those
+chunks: each slab is cut into _SEG = 64-row pieces and every chunk
+processes TWO segments (two dynamic-start contiguous 64-row reads,
+concatenated on sublanes before the transpose). At realistic occupancy a
+slab is ~30-60 candidates, so the unpacked walk ran 9 chunks/group at
+~30% lane fill; packing makes it ceil(sum ceil(len/64) / 2) ~ 5
+chunks/group — the kernel is VPU-issue-bound on the per-pair math, so
+lane fill is throughput. One fori_loop with DYNAMIC trip count walks the
+chunks (cost tracks the true cell occupancy); SLAB_CAP is only the
+fail-loudly capacity bound (raising it for splashy training states is
+free).
 
 GRADIENTS: custom VJP. Differentiable w.r.t. query/candidate positions
 (through the ball->cube map, trilinear weights and window — the property
@@ -68,11 +73,14 @@ accumulating position/feature cotangents by read-modify-write into dense
 VMEM-resident (N, ...) buffers (sequential TPU grid => race-free) and the
 filter cotangent into a constant-index revisited output block.
 
-FAIL-LOUDLY: the plan carries an `overflow` flag (true slab length >
-SLAB_CAP, or more groups than the static bound); trainers surface it
-through the same chain as the grid-search overflow flags. No silent
-truncation anywhere: when the flag is false, the op's math is the EXACT
-uncapped reference semantics.
+NO CAPACITY CONDITION: the chunk walk covers the TRUE slab lengths
+whatever they are — SLAB_CAP only sizes the sentinel/feature padding the
+segment reads may run into (floored at _SEG), so the op's math is the
+EXACT uncapped reference semantics for ANY occupancy (a pathological
+all-in-one-cell state just walks more chunks). The plan still carries an
+`overflow` flag for the one remaining (defensive, provably unreachable)
+static bound — the group count — and trainers surface it through the same
+chain as the grid-search overflow flags.
 
 Numerics match ops/cconv (same ball_to_cube_volume_preserving /
 trilinear_taps / window_poly6 formulas, f32 pair math, f32 matmuls at the
@@ -96,14 +104,19 @@ from neurofluid_tpu.ops import cconv as cconv_ops
 _SENTINEL = 1e9
 GROUP_SIZE = 16   # T_g: queries per group (sublane dim of the pair math)
 SLAB_CAP = 128    # S: candidate slab length bound (fail-loudly capacity)
-# CHUNKED WALK: each slab is processed in _SLAB_CHUNK-lane pieces with a
-# DYNAMIC trip count ceil(true_len / chunk), so per-group cost tracks the
-# TRUE slab occupancy, not SLAB_CAP — raising the cap for splashy/rotated
-# training states (trainers use 256-320 vs the compact-lattice 128) no
-# longer multiplies kernel time, and empty/out-of-grid slabs cost zero
-# iterations. 128 = one full vreg lane row; smaller chunks would pad to
-# 128 lanes anyway.
-_SLAB_CHUNK = 128
+# SEGMENT-PACKED WALK: slabs are cut into _SEG-row segments and walked two
+# segments per 128-lane chunk with a DYNAMIC trip count, so per-group cost
+# tracks the TRUE slab occupancy (not SLAB_CAP — raising the cap for
+# splashy/rotated training states is free; empty/out-of-grid slabs
+# contribute zero segments) AND short slabs don't waste lanes: at the
+# 14k-lattice working point the old one-slab-per-chunk walk ran 9 chunks
+# per group at ~39/128 lane fill; two 64-row segments per chunk cut that
+# to ~5. 64 is the sweet spot: one read must stay CONTIGUOUS (dynamic-
+# start sublane reads; no dynamic lane rolls needed) and 32-row segments
+# would double the scalar descriptor work for the same fill at this
+# occupancy. Segments within a chunk are always disjoint slab pieces, so
+# the backward's two RMW '+=' windows never alias a pair contribution.
+_SEG = 64
 # The 64-tap fold-W contractions are PYTHON-UNROLLED with STATIC slices:
 # Mosaic's in-kernel scan lowering rejects partial unrolls (only unroll=1 or
 # full) AND has no lowering for dynamic_slice on VALUES (only on refs) —
@@ -142,7 +155,8 @@ class CConvPlan:
     gstart:     (NG + 1,) int32 first dense query row per group.
     rows_map:   (N,) int32 dense row -> (group * T_g + slot) flat output
                 slot (for compacting the group-padded kernel output).
-    overflow:   () bool — true slab length > slab_cap, or group bound hit.
+    overflow:   () bool — defensive group-count bound hit (provably
+                unreachable; there is no slab capacity condition).
     """
 
     _ARRAY_FIELDS = ("order", "inv_rank", "pos_s", "pstarts", "gcol",
@@ -208,6 +222,10 @@ def build_plan(
     pts = jax.lax.stop_gradient(points)
     n = pts.shape[0]
     t = int(group_size)
+    # the kernels read whole _SEG-row segments (and T_g-row query blocks)
+    # at dynamic starts; the sentinel tail (and the callers' feature
+    # padding, sized from plan.slab_cap) must cover one full read
+    slab_cap = max(int(slab_cap), _SEG, int(group_size))
     dims = _cell_dims(lower, upper, cell_size)
     d0, d1, d2 = dims
     num_cells = d0 * d1 * d2
@@ -275,12 +293,10 @@ def build_plan(
 
     rows_map = group_of_q * t + (rank_in_col % t)
 
-    # fail-loudly slab-capacity check (pure XLA scalar math on pstarts):
-    # the kernel reads exactly [pstarts[c_lo], pstarts[c_hi + 1]) per slab
-    overflow = jnp.logical_or(
-        overflow,
-        _max_slab_len(gcol, gzlo, gzhi, nonempty, pstarts, dims) > slab_cap,
-    )
+    # NO slab-capacity condition: the segment-packed walk covers the true
+    # slab lengths whatever they are (see the module's NO CAPACITY
+    # CONDITION note) — `overflow` carries only the defensive group-count
+    # bound above, which the ceil argument proves unreachable.
 
     return CConvPlan(
         order=order, inv_rank=inv_rank, pos_s=pos_s, pstarts=pstarts,
@@ -290,46 +306,19 @@ def build_plan(
     )
 
 
-def _max_slab_len(gcol, gzlo, gzhi, nonempty, pstarts, dims):
-    """Max true candidate-slab length over all (group, slab) pairs — the
-    capacity condition for SLAB_CAP (vectorized over groups)."""
-    d0, d1, d2 = dims
-    n_cols = d0 * d1
-    cx = gcol // d1
-    cy = gcol % d1
-    z0 = jnp.maximum(gzlo - 1, 0)
-    z1 = jnp.minimum(gzhi + 1, d2 - 1)
-    max_len = jnp.zeros(gcol.shape, jnp.int32)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            ok = (
-                nonempty
-                & (cx + dx >= 0) & (cx + dx < d0)
-                & (cy + dy >= 0) & (cy + dy < d1)
-            )
-            base = (jnp.clip((cx + dx) * d1 + (cy + dy), 0, n_cols - 1)) * d2
-            ln = pstarts[base + z1 + 1] - pstarts[base + z0]
-            max_len = jnp.maximum(max_len, jnp.where(ok, ln, 0))
-    return jnp.max(max_len)
-
-
 def slab_overflow(qplan: CConvPlan, cplan: CConvPlan) -> jax.Array:
-    """Capacity check for a CROSS conv (qplan's groups reading cplan's
-    candidate ranges — e.g. fluid queries over the static box set). Plans
-    must share the grid geometry. Also re-raises qplan's own overflow."""
+    """Precondition check for a CROSS conv (qplan's groups reading cplan's
+    candidate ranges — e.g. fluid queries over the static box set): the
+    plans must share the grid geometry (raises otherwise), and qplan's own
+    (defensive group-bound) overflow flag is re-raised. There is no slab
+    capacity condition — the segment-packed walk is exact for any
+    occupancy (see the module's NO CAPACITY CONDITION note)."""
     if qplan.dims != cplan.dims:
         raise ValueError(
             f"query/candidate plans disagree on grid dims: "
             f"{qplan.dims} vs {cplan.dims}"
         )
-    d2 = qplan.dims[2]
-    n_cols = qplan.dims[0] * qplan.dims[1]
-    nonempty = qplan.gcol < n_cols
-    over = _max_slab_len(
-        qplan.gcol, qplan.gzlo, qplan.gzhi, nonempty, cplan.pstarts,
-        qplan.dims,
-    ) > cplan.slab_cap
-    return jnp.logical_or(over, qplan.overflow)
+    return qplan.overflow
 
 
 def sort_values(values: jax.Array, plan: CConvPlan, pad_rows: int = 0,
@@ -395,13 +384,22 @@ def _atan01(t):
     return acc * t
 
 
-def _axis_taps(u, k: int):
-    """Per-axis trilinear weights on a k-tap axis: returns (i0 (T, S) f32,
-    fr (T, S)) with i0 in [0, k - 2] (ops/cconv.trilinear_taps, 2-D form,
-    align_corners=True)."""
+def _axis_w_hat(u, k: int, fold=None):
+    """Per-axis trilinear weights on a k-tap axis in HAT form: tap j gets
+    max(0, 1 - |tpos - j|), which is algebraically identical to the
+    floor/fraction form of ops/cconv.trilinear_taps (align_corners=True,
+    edge-clamped tpos) but needs no floor/i0 bookkeeping and ~30% fewer
+    vector issues — this runs per (group, chunk) in a VPU-issue-bound
+    kernel. `fold` premultiplies every tap (the poly6 window rides the z
+    axis)."""
     tpos = jnp.clip((u * 0.5 + 0.5) * (k - 1.0), 0.0, k - 1.0)
-    i0 = jnp.clip(jnp.floor(tpos), 0.0, float(k - 2))
-    return i0, tpos - i0
+    ws = []
+    for j in range(k):
+        wj = jnp.maximum(1.0 - jnp.abs(tpos - float(j)), 0.0)
+        if fold is not None:
+            wj = wj * fold
+        ws.append(wj)
+    return ws
 
 
 def _slab_contrib(qx, qy, qz, cx, cy, cz, feats, valid,
@@ -486,25 +484,11 @@ def _slab_contrib(qx, qy, qz, cx, cy, cz, feats, valid,
     uy = jnp.where(cdeg, 0.0, jnp.where(x_ge, b1, b2))
     uz = cylz
 
-    # factorized trilinear taps; Open3D axis convention: spatial axis 0 <- z
-    # (kz taps on uz), 1 <- y, 2 <- x (cconv_ops.trilinear_taps)
-    ix0, fx = _axis_taps(ux, kx)
-    iy0, fy = _axis_taps(uy, ky)
-    iz0, fz = _axis_taps(uz, kz)
-
-    def axis_w(i0, fr, k, fold=None):
-        ws = []
-        for j in range(k):
-            jf = float(j)
-            wj = (i0 == jf) * (1.0 - fr) + (i0 == (jf - 1.0)) * fr
-            if fold is not None:
-                wj = wj * fold
-            ws.append(wj)
-        return ws
-
-    wxs = axis_w(ix0, fx, kx)
-    wys = axis_w(iy0, fy, ky)
-    wzs = axis_w(iz0, fz, kz, fold=w)  # window folded into the z factor
+    # factorized trilinear taps (hat form); Open3D axis convention: spatial
+    # axis 0 <- z (kz taps on uz), 1 <- y, 2 <- x (cconv_ops.trilinear_taps)
+    wxs = _axis_w_hat(ux, kx)
+    wys = _axis_w_hat(uy, ky)
+    wzs = _axis_w_hat(uz, kz, fold=w)  # window folded into the z factor
 
     # t-major tap-weight matrix: rows [(tz*ky + ty)*kx + tx] * T_g + tg ...
     # actually rows are ordered t-major as blocks of T_g: block index
@@ -590,15 +574,49 @@ def _slab_range(i, col, z0, z1, pstarts_ref, dims, n_cols, n_c):
     return start, length
 
 
-def _pair_valid(length, t_g: int, s_cap: int):
-    """(T_g, S) f32 lane-length mask. CRITICAL for correctness: rows past a
-    slab's true length are particles of farther cells whose distance may
-    still be inside the radius when the dense array runs into an adjacent
-    column; without this mask they would be double-counted. (Self-exclusion
-    is positional — `exclude_zero` in `_slab_contrib` — matching Open3D's
+def _group_segments(col, z0, z1, pstarts_ref, dims, n_cols, n_c):
+    """Scalar segment-packing descriptors for one group: cut each of the 9
+    candidate slabs into _SEG-row pieces and expose them as one virtual
+    segment list. Returns (total_segs, seg) where seg(sid) -> (src, len)
+    gives segment sid's dynamic row start and true length (<= _SEG); ids
+    past the end map to the sentinel region [n_c, n_c + _SEG) with length
+    0. All scalar math (9-way unrolled selects over SMEM pstarts) — it
+    overlaps the vector work."""
+    starts, lens = [], []
+    cums = [jnp.int32(0)]
+    for i in range(9):
+        s_i, l_i = _slab_range(i, col, z0, z1, pstarts_ref, dims, n_cols,
+                               n_c)
+        starts.append(s_i)
+        lens.append(l_i)
+        cums.append(cums[-1] + (l_i + (_SEG - 1)) // _SEG)
+    total_segs = cums[-1]
+
+    def seg(sid):
+        src = jnp.int32(n_c)
+        ln = jnp.int32(0)
+        for i in range(9):
+            hit = (sid >= cums[i]) & (sid < cums[i + 1])
+            off = (sid - cums[i]) * _SEG
+            src = jnp.where(hit, starts[i] + off, src)
+            ln = jnp.where(hit, jnp.minimum(lens[i] - off, _SEG), ln)
+        return src, ln
+
+    return total_segs, seg
+
+
+def _pair_valid2(len0, len1, t_g: int):
+    """(T_g, 2 * _SEG) f32 mask for a two-segment chunk: lane l is a true
+    candidate iff l < len0 (first segment) or l - _SEG < len1 (second).
+    CRITICAL for correctness: rows past a segment's true length are
+    particles of farther cells whose distance may still be inside the
+    radius when the dense array runs into an adjacent column; without this
+    mask they would be double-counted. (Self-exclusion is positional —
+    `exclude_zero` in `_slab_contrib` — matching Open3D's
     ignore_query_point semantics.)"""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_cap), 1)
-    v = (lane < length).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * _SEG), 1)
+    lim = jnp.where(lane < _SEG, len0, len1 + _SEG)
+    v = (lane < lim).astype(jnp.float32)
     return v * jnp.ones((t_g, 1), jnp.float32)
 
 
@@ -625,36 +643,38 @@ def _fwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
         z1 = jnp.minimum(gzhi_ref[g] + 1, d2 - 1)
         qb = qpos_ref[pl.ds(q0, t_g), :]  # (T_g, 3)
         qx, qy, qz = qb[:, 0:1], qb[:, 1:2], qb[:, 2:3]
-        s_chk = min(s_cap, _SLAB_CHUNK)
+        total_segs, seg = _group_segments(
+            col, z0, z1, pstarts_ref, dims, n_cols, n_c
+        )
 
-        def slab_body(i, carry):
-            start, length = _slab_range(
-                i, col, z0, z1, pstarts_ref, dims, n_cols, n_c
+        # segment-packed walk: two 64-row segments per 128-lane chunk, so
+        # cost tracks the TRUE slab occupancy AND short slabs don't waste
+        # lanes (see the module's SEGMENT-PACKED WALK note). Empty/edge
+        # slabs contribute zero segments.
+        def chunk_body(j, carry):
+            acc, cnt = carry
+            src0, len0 = seg(2 * j)
+            src1, len1 = seg(2 * j + 1)
+            cb = jnp.concatenate(
+                [cpos_ref[pl.ds(src0, _SEG), :],
+                 cpos_ref[pl.ds(src1, _SEG), :]], axis=0
+            )  # (2 * _SEG, 3)
+            cbt = _transpose2d(cb)  # (3, 2 * _SEG)
+            fb = jnp.concatenate(
+                [feats_ref[pl.ds(src0, _SEG), :],
+                 feats_ref[pl.ds(src1, _SEG), :]], axis=0
+            )  # (2 * _SEG, Cin)
+            valid = _pair_valid2(len0, len1, t_g)
+            a, c = _slab_contrib(
+                qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :],
+                fb, valid, radius, ksize, t_g, exclude_zero=self_mode,
+                precision=precision,
             )
+            return acc + a, cnt + c
 
-            # chunked walk: cost tracks the TRUE slab length, not the
-            # static cap — the cap is only the fail-loudly safety bound
-            # (see the module's CHUNKED WALK note). Empty/edge slabs cost
-            # zero iterations.
-            def chunk_body(j, carry2):
-                acc, cnt = carry2
-                off = start + j * s_chk
-                cb = cpos_ref[pl.ds(off, s_chk), :]    # (S_chk, 3)
-                cbt = _transpose2d(cb)                 # (3, S_chk)
-                fb = feats_ref[pl.ds(off, s_chk), :]   # (S_chk, Cin)
-                valid = _pair_valid(length - j * s_chk, t_g, s_chk)
-                a, c = _slab_contrib(
-                    qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :],
-                    fb, valid, radius, ksize, t_g, exclude_zero=self_mode,
-                    precision=precision,
-                )
-                return acc + a, cnt + c
-
-            n_chunks = (length + s_chk - 1) // s_chk
-            return jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
-
+        n_chunks = (total_segs + 1) // 2
         acc, cnt = jax.lax.fori_loop(
-            0, 9, slab_body,
+            0, n_chunks, chunk_body,
             (jnp.zeros((n_taps * t_g, cin), jnp.float32),
              jnp.zeros((t_g, 1), jnp.float32)),
         )
@@ -702,53 +722,65 @@ def _bwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
                           precision=precision)
         zc = jnp.zeros((t_g, 1), jnp.float32)
 
-        # ONE slab pass: jax.vjp computes the slab's PRIMAL output alongside
-        # the pullback, so the acc needed for dW is accumulated here for free
-        # — the old separate forward-recompute pass (9 more slab walks per
-        # group, ~+50% kernel time) is gone.
-        s_chk = min(s_cap, _SLAB_CHUNK)
+        # ONE walk: jax.vjp computes the chunk's PRIMAL output alongside
+        # the pullback, so the acc needed for dW is accumulated here for
+        # free — no separate forward-recompute pass.
+        total_segs, seg = _group_segments(
+            col, z0, z1, pstarts_ref, dims, n_cols, n_c
+        )
 
-        def bwd_body(i, carry):
-            start, length = _slab_range(
-                i, col, z0, z1, pstarts_ref, dims, n_cols, n_c
+        # segment-packed walk, mirroring _fwd_kernel; the two RMW '+='
+        # windows of a chunk are disjoint slab pieces (sentinel-region
+        # segments only ever add exact zeros, so even their overlap is
+        # harmless — the adds are sequential within the chunk)
+        def chunk_body(j, carry):
+            dq_acc, acc = carry
+            src0, len0 = seg(2 * j)
+            src1, len1 = seg(2 * j + 1)
+            cb = jnp.concatenate(
+                [cpos_ref[pl.ds(src0, _SEG), :],
+                 cpos_ref[pl.ds(src1, _SEG), :]], axis=0
             )
+            cbt = _transpose2d(cb)
+            fb = jnp.concatenate(
+                [feats_ref[pl.ds(src0, _SEG), :],
+                 feats_ref[pl.ds(src1, _SEG), :]], axis=0
+            )
+            valid = _pair_valid2(len0, len1, t_g)
 
-            # chunked walk, mirroring _fwd_kernel (cost tracks the TRUE
-            # slab length; the RMW accumulate pattern per chunk is the same
-            # dynamic-start '+=' the per-slab version used)
-            def chunk_body(j, carry2):
-                dq_acc, acc = carry2
-                off = start + j * s_chk
-                cb = cpos_ref[pl.ds(off, s_chk), :]
-                cbt = _transpose2d(cb)
-                fb = feats_ref[pl.ds(off, s_chk), :]
-                valid = _pair_valid(length - j * s_chk, t_g, s_chk)
-
-                def f(a1, a2, a3, b1, b2, b3, fe):
-                    return _slab_contrib(
-                        a1, a2, a3, b1, b2, b3, fe, valid, radius, ksize,
-                        t_g, exclude_zero=self_mode, precision=precision,
-                    )
-
-                (a, _cnt), vjpfn = jax.vjp(
-                    f, qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :], fb
+            def f(a1, a2, a3, b1, b2, b3, fe):
+                return _slab_contrib(
+                    a1, a2, a3, b1, b2, b3, fe, valid, radius, ksize,
+                    t_g, exclude_zero=self_mode, precision=precision,
                 )
-                dqx, dqy, dqz, dcx, dcy, dcz, dfb = vjpfn((d_acc, zc))
-                dcb = _transpose2d(
-                    jnp.concatenate([dcx, dcy, dcz], axis=0)
-                )  # (S_chk, 3)
-                dc_ref[pl.ds(off, s_chk), :] += dcb
-                df_ref[pl.ds(off, s_chk), :] += dfb
-                dq_acc = dq_acc + jnp.concatenate(
-                    [dqx, dqy, dqz], axis=1
-                )  # (T_g, 3)
-                return dq_acc, acc + a
 
-            n_chunks = (length + s_chk - 1) // s_chk
-            return jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
+            (a, _cnt), vjpfn = jax.vjp(
+                f, qx, qy, qz, cbt[0:1, :], cbt[1:2, :], cbt[2:3, :], fb
+            )
+            dqx, dqy, dqz, dcx, dcy, dcz, dfb = vjpfn((d_acc, zc))
+            dcb = _transpose2d(
+                jnp.concatenate([dcx, dcy, dcz], axis=0)
+            )  # (2 * _SEG, 3)
+            dc_ref[pl.ds(src0, _SEG), :] += jax.lax.slice(
+                dcb, (0, 0), (_SEG, 3)
+            )
+            dc_ref[pl.ds(src1, _SEG), :] += jax.lax.slice(
+                dcb, (_SEG, 0), (2 * _SEG, 3)
+            )
+            df_ref[pl.ds(src0, _SEG), :] += jax.lax.slice(
+                dfb, (0, 0), (_SEG, cin)
+            )
+            df_ref[pl.ds(src1, _SEG), :] += jax.lax.slice(
+                dfb, (_SEG, 0), (2 * _SEG, cin)
+            )
+            dq_acc = dq_acc + jnp.concatenate(
+                [dqx, dqy, dqz], axis=1
+            )  # (T_g, 3)
+            return dq_acc, acc + a
 
+        n_chunks = (total_segs + 1) // 2
         dq, acc = jax.lax.fori_loop(
-            0, 9, bwd_body,
+            0, n_chunks, chunk_body,
             (jnp.zeros((t_g, 3), jnp.float32),
              jnp.zeros((n_taps * t_g, cin), jnp.float32)),
         )
@@ -953,8 +985,10 @@ def fused_cconv(
         semantics — positional, so a coincident twin is excluded too).
 
     Returns (out (Nq, Cout) in SORTED query order, counts (Nq,) true
-    in-radius neighbor counts). The plan's `overflow` flag (checked by the
-    caller) is the only capacity condition; there is no neighbor cap.
+    in-radius neighbor counts). There is no neighbor cap and no slab
+    capacity condition — the walk is exact for any occupancy; the plan's
+    `overflow` flag (surfaced to callers) carries only the defensive
+    group-count bound.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

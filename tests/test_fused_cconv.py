@@ -172,14 +172,39 @@ class TestGradients:
 
 
 class TestOverflow:
-    def test_slab_cap_overflow_flagged(self):
-        # pack enough points into one column that a slab exceeds the cap
+    def test_exact_beyond_slab_cap(self):
+        # slab lengths FAR past slab_cap: the segment-packed walk covers
+        # the true occupancy, so the result stays exact and no overflow is
+        # flagged (the cap only sizes padding; fused_cconv.py "NO CAPACITY
+        # CONDITION")
         rng = np.random.RandomState(10)
         pos = jnp.asarray(
             rng.uniform(-0.05, 0.05, (300, 3)).astype(np.float32)
         )
+        feats = jnp.asarray(rng.randn(300, 3).astype(np.float32))
+        w = jnp.asarray((rng.randn(4, 4, 4, 3, 5) * 0.1).astype(np.float32))
         plan = fc.build_plan(pos, LOWER, UPPER, RADIUS, slab_cap=64)
-        assert bool(plan.overflow)
+        assert not bool(plan.overflow)
+        pos_s = fc.sort_values(pos, plan, pad_rows=plan.slab_cap,
+                               pad_value=fc._SENTINEL)
+        feats_s = fc.sort_values(feats, plan, pad_rows=plan.slab_cap)
+        out_s, cnt_s = fc.fused_cconv(
+            w, plan, pos_s, plan, pos_s, feats_s, RADIUS,
+            exclude_self=True, interpret=True,
+        )
+        out = fc.unsort_values(out_s, plan)
+        nbrs = ns.radius_search_brute(
+            pos, pos, RADIUS, 300, order="nearest", inclusive=True,
+            exclude_self=True,
+        )
+        ref = cconv_ops.continuous_conv(
+            w, pos, feats, pos, nbrs, extent=2 * RADIUS
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+        cnt = fc.unsort_values(cnt_s[:, None], plan)[:, 0]
+        np.testing.assert_array_equal(
+            np.asarray(cnt), np.asarray(nbrs.count.astype(jnp.float32))
+        )
 
     def test_no_overflow_when_capacity_suffices(self):
         pos = _scene(100, seed=11)

@@ -92,12 +92,10 @@ RENDER_STRIDE = int(os.environ.get("PROTO_RENDER_STRIDE", 1))
 SEARCH_BACKEND = os.environ.get("PROTO_SEARCH", "fused_cconv")
 CONV_PREC = os.environ.get("PROTO_CONV_PREC", "default")
 ANCHOR = os.environ.get("PROTO_ANCHOR", "1") == "1"
-# fused_cconv slab capacity: a slab's length is bounded by one column's
-# occupancy over a query group's z-range, NOT by any K. Measured on the PBF
-# pretrain set WITH z-rotation augmentation: worst fluid slab 216 (box 65)
-# across sims/frames/rotations, vs the compact-lattice bench default 128.
-# 320 leaves ~50% headroom for training-time drift; the fail-loud overflow
-# flag still guards the residual.
+# fused_cconv slab cap: since the segment-packed walk (round 5) the cap only
+# sizes sentinel/feature padding — the conv is exact for ANY occupancy
+# (ops/fused_cconv.py "NO CAPACITY CONDITION"), so there is no capacity to
+# tune. 320 is kept for cache continuity with the round-5 protocol run.
 FUSED_SLAB = int(os.environ.get("PROTO_FUSED_SLAB", 320))
 
 
