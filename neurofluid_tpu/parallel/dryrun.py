@@ -46,9 +46,15 @@ def _tiny_problem(n_devices: int, seed: int = 0):
     return pos, vel, box, nrm, ro, rays, rgbs
 
 
-def build_tiny_models(search_backend: str = "brute"):
+def build_tiny_models(search_backend: str = "brute",
+                      kernel_size: tuple = (4, 4, 4)):
+    """`kernel_size=(2, 2, 2)` shrinks the CConv tap matrices — the XLA:CPU
+    compile hog (measured on this host: the composed spmd step compiles in
+    28 s at (2, 2, 2) vs 165+ s at (4, 4, 4)); the sharding/collective
+    structure under test is identical, so the composed dryrun stage uses
+    it."""
     transition = ParticleNet(search_backend=search_backend, fluid_neighbor_k=16,
-                             obstacle_neighbor_k=8)
+                             obstacle_neighbor_k=8, kernel_size=kernel_size)
     renderer = RenderNet(
         near=1.0, far=3.0, n_samples=4, n_importance=4, nerf_depth=2,
         nerf_width=32, num_neighbors=4, search_backend=search_backend,
@@ -252,35 +258,60 @@ def run_composed_step(n_devices: int, seed: int = 0, impl: str = "spmd"):
       ~9x the base compile; exercised by the slow test suite).
 
     The replicated reference is the plain SINGLE-DEVICE jit of the same
-    step factory — measured ~40 s to compile on this class of host, vs
-    ~350 s for the GSPMD-partitioned variant and ~400 s for an eager
-    op-by-op run (one tiny XLA:CPU compile per distinct primitive/shape).
+    step factory. Both programs use (2, 2, 2) CConv taps: measured on this
+    host (round 5, solo), the tap matrices were the XLA:CPU compile hog —
+    spmd 165 s -> 28 s and replicated 213 s -> 19 s vs (4, 4, 4) — while
+    the sharding/collective structure under test is unchanged. (The eager
+    op-by-op alternative costs ~400 s: one tiny XLA:CPU compile per
+    distinct primitive/shape.)
     Returns (composed, replicated) dicts of {loss, grad-norms, next_pos}."""
     from neurofluid_tpu.parallel.sharding import (
         make_composed_e2e_step,
         make_spmd_e2e_step,
     )
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _mark(msg):
+        # sub-stage progress: the composed stage is the dryrun's wall-clock
+        # long pole on 1-core driver hosts, so a driver-timeout tail must
+        # show WHERE it was (compile vs execute, spmd vs replicated)
+        print(f"[composed +{_time.time() - _t0:6.1f}s] {msg}", flush=True)
 
     if n_devices % 2:
         raise ValueError("composed mesh needs an even device count")
+    # 2x2 SUBMESH when >= 4 devices are available: on XLA:CPU every virtual
+    # device's per-step program executes SERIALLY on the host's one core at
+    # ~17 ms/thunk (measured round 5: the 8-device composed step EXECUTES in
+    # 263 s vs a 24 s compile — thunk dispatch, invariant to shapes, opt
+    # level, and XNN fusion), so the composed check costs ~33 s per device
+    # program. Both sharded axes and every collective pattern are identical
+    # on 2x2; full-8-device coverage comes from stages 1-4.
     pp = 2
-    rr = n_devices // pp
-    devices = np.asarray(jax.devices()[:n_devices]).reshape(pp, rr)
+    rr = 2 if n_devices >= 4 else n_devices // pp
+    devices = np.asarray(jax.devices()[: pp * rr]).reshape(pp, rr)
     mesh = jax.sharding.Mesh(devices, ("particles", "rays"))
 
     pos, vel, box, nrm, ro, rays, rgbs = _tiny_problem(n_devices, seed)
-    transition, renderer = build_tiny_models()
+    # (2, 2, 2) taps: same sharding/collective structure, ~7x cheaper
+    # XLA:CPU compile for BOTH programs (see build_tiny_models) — the
+    # composed stage was the dryrun's wall-clock long pole
+    transition, renderer = build_tiny_models(kernel_size=(2, 2, 2))
 
     def factory(axis):
         return ParticleNet(search_backend="brute", fluid_neighbor_k=16,
-                           obstacle_neighbor_k=8, shard_axis=axis)
+                           obstacle_neighbor_k=8, shard_axis=axis,
+                           kernel_size=(2, 2, 2))
 
     key = jax.random.PRNGKey(0)
     args = tuple(jnp.asarray(a) for a in (pos, vel, box, nrm))
     params_t = transition.init(key, *args)
+    _mark("transition init")
     params_r = renderer.init(
         key, args[0], jnp.asarray(ro[0]), jnp.asarray(rays[0])
     )
+    _mark("renderer init")
     opt_r = optax.adam(1e-3)
     opt_t = optax.adam(1e-4)
     bounds = losses.default_box_bounds()
@@ -291,8 +322,15 @@ def run_composed_step(n_devices: int, seed: int = 0, impl: str = "spmd"):
     make = make_spmd_e2e_step if impl == "spmd" else make_composed_e2e_step
     step = make(factory, renderer, opt_r, opt_t, bounds, 1.0, mesh)
     inputs = (*args, jnp.asarray(ro), jnp.asarray(rays), jnp.asarray(rgbs))
-    out = step(params_r, params_t, opt_r.init(params_r), opt_t.init(params_t),
-               *inputs)
+    compiled = step.lower(
+        params_r, params_t, opt_r.init(params_r), opt_t.init(params_t),
+        *inputs
+    ).compile()
+    _mark(f"{impl} step compiled")
+    out = compiled(params_r, params_t, opt_r.init(params_r),
+                   opt_t.init(params_t), *inputs)
+    out = jax.block_until_ready(out)
+    _mark(f"{impl} step executed")
     (_, _, _, _, loss, next_pos, _next_vel, aux) = out
 
     # replicated reference: same factory step, plain transition, one-device jit
@@ -301,6 +339,8 @@ def run_composed_step(n_devices: int, seed: int = 0, impl: str = "spmd"):
     )
     pr, pt = jax.tree_util.tree_map(jnp.asarray, host_params)
     eout = estep(pr, pt, opt_r.init(pr), opt_t.init(pt), *inputs)
+    eout = jax.block_until_ready(eout)
+    _mark("replicated reference executed")
     (_, _, _, _, e_loss, e_next_pos, _e_next_vel, e_aux) = eout
 
     def as_dict(l, a, npos):
@@ -333,11 +373,13 @@ def dryrun_multichip(n_devices: int) -> None:
        `points_valid` halo masking) == replicated
     4. reference-scale (13,824-particle lattice) grid halo step == replicated
     5. FULL COMPOSED e2e train step: shard_map transition over 'particles' x
-       GSPMD ray sharding over 'rays' + both Adam updates in ONE program
-       (parallel/sharding.make_composed_e2e_step — the production composed
+       ray sharding over 'rays' + both Adam updates in ONE program
+       (parallel/sharding.make_spmd_e2e_step — the production composed
        path; subsumes the 1-D ray-sharded e2e check, which is the
        particles=1 degenerate case and is separately exercised by
-       tests/test_sharding.py) — loss finite,
+       tests/test_sharding.py). Runs on a 2x2 submesh — identical axis /
+       collective structure, ~4x cheaper on serialized single-core hosts
+       (see run_composed_step) — loss finite,
     6. ... and equal to the replicated eager reference (loss, both grad
        norms, next positions).
 
