@@ -44,11 +44,12 @@ N_VIEWS = 1
 # Round-5 defaults: the transition model runs the selection-free fused
 # Pallas conv (ops/fused_cconv — exact uncapped reference semantics) at
 # MXU 'default' (1-pass bf16) precision. Measured v5e A/B at this working
-# point: grid/high 412.3 ms train step -> fused_cconv/default 246.6 ms
-# (116k particle-steps/s), rollout 817 -> 367 ms, e2e step 308 -> 260 ms
-# (3,945 rays/s), fresh-program compile 978 -> 151 s. The bf16 precision
-# choice is quality-pinned by the full protocol run (PROTOCOL_R5.json
-# trained_pred2gt vs R4's 96.3 mm at grid/high).
+# point: grid/high 412.3 ms train step -> fused_cconv/default 246.6 ms,
+# -> 159.0 ms with the segment-packed walk, -> 135.2 ms with dense-row
+# in-kernel outputs (212k particle-steps/s); rollout 817 -> 367 -> 205 ms
+# (698k psteps/s eval); e2e step 308 -> 260 ms (3,945 rays/s). The bf16
+# precision choice is quality-pinned by the full protocol run
+# (PROTOCOL_R5.json trained_pred2gt vs R4's 96.3 mm at grid/high).
 CONV_PRECISION = os.environ.get("NF_BENCH_CONV_PRECISION", "default")
 QUERY_CHUNK = int(os.environ.get("NF_BENCH_QUERY_CHUNK", 16384))
 # transition-model neighbor search: 'fused_cconv' (default; ops/fused_cconv

@@ -80,7 +80,6 @@ def _tag_cconv_plan(plan: "fused_cconv.CConvPlan"):
         order=tag(plan.order), inv_rank=tag(plan.inv_rank),
         pstarts=tag(plan.pstarts), gcol=tag(plan.gcol), gzlo=tag(plan.gzlo),
         gzhi=tag(plan.gzhi), gstart=tag(plan.gstart),
-        rows_map=tag(plan.rows_map),
     )
 
 

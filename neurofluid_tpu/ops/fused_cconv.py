@@ -41,9 +41,13 @@ builds. This op removes every one of those costs structurally:
 GROUPING: queries are the sorted particles themselves, split into groups of
 T_g CONSECUTIVE sorted rows that never cross a (cx, cy) column boundary
 (groups per column = ceil(count/T_g); short tail groups are padded — padded
-slots compute garbage that is simply never read back, and their backward
-cotangents are zeroed by construction). Column alignment is what makes the
-9-slab candidate cover exact: each slab is [pstarts[col' * d2 + z_lo - 1],
+slots compute garbage that is masked out of the dense-row '+=' writes, and
+the backward masks their cotangent reads the same way). Outputs land
+DIRECTLY in dense sorted rows (a masked read-modify-write at the group's
+row range — the same revisited-VMEM pattern as the backward accumulators),
+so chaining conv layers needs no per-layer compaction gathers.
+
+Column alignment is what makes the 9-slab candidate cover exact: each slab is [pstarts[col' * d2 + z_lo - 1],
 pstarts[col' * d2 + z_hi + 2]) for the group's query z-cell range
 [z_lo, z_hi], so every true neighbor appears in EXACTLY one slab (cell size
 >= radius; rows beyond a slab's true length are masked by an iota-vs-length
@@ -153,19 +157,17 @@ class CConvPlan:
                 n_columns for empty tail groups).
     gzlo/gzhi:  (NG,) int32 query z-cell range per group.
     gstart:     (NG + 1,) int32 first dense query row per group.
-    rows_map:   (N,) int32 dense row -> (group * T_g + slot) flat output
-                slot (for compacting the group-padded kernel output).
     overflow:   () bool — defensive group-count bound hit (provably
                 unreachable; there is no slab capacity condition).
     """
 
     _ARRAY_FIELDS = ("order", "inv_rank", "pos_s", "pstarts", "gcol",
-                     "gzlo", "gzhi", "gstart", "rows_map", "overflow")
+                     "gzlo", "gzhi", "gstart", "overflow")
     _STATIC_FIELDS = ("dims", "n", "n_groups", "group_size", "slab_cap",
                       "cell_size")
 
     def __init__(self, order, inv_rank, pos_s, pstarts, gcol, gzlo, gzhi,
-                 gstart, rows_map, overflow, dims, n, n_groups, group_size,
+                 gstart, overflow, dims, n, n_groups, group_size,
                  slab_cap, cell_size):
         self.order = order
         self.inv_rank = inv_rank
@@ -175,7 +177,6 @@ class CConvPlan:
         self.gzlo = gzlo
         self.gzhi = gzhi
         self.gstart = gstart
-        self.rows_map = rows_map
         self.overflow = overflow
         self.dims = tuple(dims)
         self.n = int(n)
@@ -259,7 +260,7 @@ def build_plan(
         return CConvPlan(
             order=order, inv_rank=inv_rank, pos_s=pos_s, pstarts=pstarts,
             gcol=z, gzlo=z, gzhi=z, gstart=jnp.zeros((2,), jnp.int32),
-            rows_map=z, overflow=jnp.asarray(False),
+            overflow=jnp.asarray(False),
             dims=dims, n=n, n_groups=0, group_size=t,
             slab_cap=int(slab_cap), cell_size=float(cell_size),
         )
@@ -291,8 +292,6 @@ def build_plan(
     gzlo = jnp.where(nonempty, zc_of_sorted[safe_first], 0)
     gzhi = jnp.where(nonempty, zc_of_sorted[safe_last], 0)
 
-    rows_map = group_of_q * t + (rank_in_col % t)
-
     # NO slab-capacity condition: the segment-packed walk covers the true
     # slab lengths whatever they are (see the module's NO CAPACITY
     # CONDITION note) — `overflow` carries only the defensive group-count
@@ -300,7 +299,7 @@ def build_plan(
 
     return CConvPlan(
         order=order, inv_rank=inv_rank, pos_s=pos_s, pstarts=pstarts,
-        gcol=gcol, gzlo=gzlo, gzhi=gzhi, gstart=gstart, rows_map=rows_map,
+        gcol=gcol, gzlo=gzlo, gzhi=gzhi, gstart=gstart,
         overflow=overflow, dims=dims, n=n, n_groups=int(ng), group_size=t,
         slab_cap=int(slab_cap), cell_size=float(cell_size),
     )
@@ -631,10 +630,13 @@ def _fwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
     n_taps = ksize[0] * ksize[1] * ksize[2]
     col = gcol_ref[g]
 
-    @pl.when(col == n_cols)
-    def _skip():
-        out_ref[0, :, :] = jnp.zeros((t_g, cout), jnp.float32)
-        cnt_ref[0, :, :] = jnp.zeros((t_g, 8), jnp.float32)
+    # sequential TPU grid: program 0 zero-initializes the dense outputs
+    # before any group's masked '+=' lands (same revisited-VMEM pattern as
+    # the backward accumulators); empty tail groups then need no work
+    @pl.when(g == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
+        cnt_ref[:, :] = jnp.zeros(cnt_ref.shape, jnp.float32)
 
     @pl.when(col < n_cols)
     def _run():
@@ -679,11 +681,18 @@ def _fwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
              jnp.zeros((t_g, 1), jnp.float32)),
         )
         w = w_ref[:, :]
-        out_ref[0, :, :] = _fold_w(acc, w, t_g, n_taps, cin, cout,
-                                   precision=precision)
-        cnt_ref[0, :, :] = jnp.concatenate(
+        out_g = _fold_w(acc, w, t_g, n_taps, cin, cout,
+                        precision=precision)
+        # dense-row masked '+=': rows past this group's true count belong
+        # to the NEXT group's range (tail-group padding) — their garbage
+        # is zeroed here, and every real row receives exactly one nonzero
+        # add across the grid
+        slot = jax.lax.broadcasted_iota(jnp.int32, (t_g, 1), 0)
+        live = (slot < (gstart_ref[g + 1] - q0)).astype(jnp.float32)
+        out_ref[pl.ds(q0, t_g), :] += out_g * live
+        cnt_ref[pl.ds(q0, t_g), :] += jnp.concatenate(
             [cnt, jnp.zeros((t_g, 7), jnp.float32)], axis=1
-        )
+        ) * live
 
 
 def _bwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
@@ -715,7 +724,11 @@ def _bwd_kernel(gcol_ref, gzlo_ref, gzhi_ref, gstart_ref, pstarts_ref,
         z1 = jnp.minimum(gzhi_ref[g] + 1, d2 - 1)
         qb = qpos_ref[pl.ds(q0, t_g), :]
         qx, qy, qz = qb[:, 0:1], qb[:, 1:2], qb[:, 2:3]
-        ct = ctg_ref[0, :, :]  # (T_g, Cout); padded slots pre-zeroed
+        # dense cotangent rows; mask the tail-group slots that belong to
+        # the next group's range (mirror of the forward's masked write)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (t_g, 1), 0)
+        live = (slot < (gstart_ref[g + 1] - q0)).astype(jnp.float32)
+        ct = ctg_ref[pl.ds(q0, t_g), :] * live  # (T_g, Cout)
         w = w_ref[:, :]
 
         d_acc = _unfold_w(ct, w, t_g, n_taps, cin, cout,
@@ -850,10 +863,9 @@ def _run_fwd(cfg: _Cfg, qpos_s, cpos_s, feats_s, w2,
         num_scalar_prefetch=5,
         grid=(cfg.ng,),
         in_specs=[_vmem_spec()] * 4,
-        out_specs=[
-            pl.BlockSpec((1, cfg.t_g, cfg.cout), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, cfg.t_g, 8), lambda g, *_: (g, 0, 0)),
-        ],
+        # dense-row revisited outputs (masked '+=' per group) — the padded
+        # tail lets the last groups' T_g-row windows stay in bounds
+        out_specs=[_vmem_spec(), _vmem_spec()],
     )
     kern = functools.partial(
         _fwd_kernel, radius=cfg.radius, ksize=cfg.ksize, t_g=cfg.t_g,
@@ -865,8 +877,8 @@ def _run_fwd(cfg: _Cfg, qpos_s, cpos_s, feats_s, w2,
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((cfg.ng, cfg.t_g, cfg.cout), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.ng, cfg.t_g, 8), jnp.float32),
+            jax.ShapeDtypeStruct((qpos_s.shape[0], cfg.cout), jnp.float32),
+            jax.ShapeDtypeStruct((qpos_s.shape[0], 8), jnp.float32),
         ],
         compiler_params=None if cfg.interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT
@@ -882,10 +894,7 @@ def _run_bwd(cfg: _Cfg, qpos_s, cpos_s, feats_s, w2, ct_group,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(cfg.ng,),
-        in_specs=[
-            _vmem_spec(), _vmem_spec(), _vmem_spec(), _vmem_spec(),
-            pl.BlockSpec((1, cfg.t_g, cfg.cout), lambda g, *_: (g, 0, 0)),
-        ],
+        in_specs=[_vmem_spec()] * 5,  # ct is dense (N + pad, Cout) now
         out_specs=[_vmem_spec()] * 4,
     )
     kern = functools.partial(
@@ -938,26 +947,6 @@ def _fused_cconv_bwd(cfg, res, cts):
 
 
 _fused_cconv_call.defvjp(_fused_cconv_fwd, _fused_cconv_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _compact(flat, rows_map, inv_idx, inv_valid):
-    """(NG*T_g, C) group-padded -> (N, C) dense rows; adjoint is the inverse
-    gather (masked), never a scatter."""
-    return flat[rows_map]
-
-
-def _compact_fwd(flat, rows_map, inv_idx, inv_valid):
-    return flat[rows_map], (inv_idx, inv_valid, flat.shape)
-
-
-def _compact_bwd(res, ct):
-    inv_idx, inv_valid, shape = res
-    g = jnp.where(inv_valid[:, None], ct[inv_idx], 0.0)
-    return g.reshape(shape), None, None, None
-
-
-_compact.defvjp(_compact_fwd, _compact_bwd)
 
 
 def fused_cconv(
@@ -1019,19 +1008,10 @@ def fused_cconv(
         ng=qplan.n_groups, interpret=bool(interpret),
         precision=str(precision),
     )
-    out_g, cnt_g = _fused_cconv_call(
+    out_d, cnt_d = _fused_cconv_call(
         cfg, qpos_s, cpos_s, feats_s, w2,
         qplan.gcol, qplan.gzlo, qplan.gzhi, qplan.gstart, cplan.pstarts,
     )
-    # compaction maps dense query row i -> its (group, slot) output cell;
-    # the inverse (for the adjoint) maps flat slot -> dense row (masked)
-    ng, n = qplan.n_groups, qplan.n
-    slot = jnp.arange(ng * t, dtype=jnp.int32)
-    gof = slot // t
-    inv_idx = jnp.clip(qplan.gstart[gof] + slot % t, 0, n - 1)
-    inv_valid = (slot % t) < (qplan.gstart[gof + 1] - qplan.gstart[gof])
-    out = _compact(
-        out_g.reshape(ng * t, cout), qplan.rows_map, inv_idx, inv_valid
-    )
-    counts = cnt_g.reshape(ng * t, 8)[qplan.rows_map, 0]
-    return out, counts
+    # outputs land in dense sorted rows directly (masked in-kernel '+=');
+    # drop the padding tail — no compaction gathers on this path
+    return out_d[: qplan.n], cnt_d[: qplan.n, 0]
